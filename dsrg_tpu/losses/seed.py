@@ -1,0 +1,55 @@
+"""Seeding losses (SEC / DSRG).
+
+Plain JAX functions under autodiff — the reference builds the identical
+expressions in Theano and differentiates with ``T.grad``
+(``pylayers/pylayers/pylayers.py:95-152``), so ``jax.grad`` reproduces the
+backward passes exactly.
+
+Layout note: the reference is NCHW; we take NHWC (B, h, w, M) with the class
+axis last (TPU-native).  All reductions are axis-renamed accordingly.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from dsrg_tpu.ops.softmax import MIN_PROB
+
+
+def seed_loss(probs: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """SEC-style seeding loss (``SeedLossLayer``, pylayers.py:95-118).
+
+    ``-mean_b( sum(labels * log(probs)) / count_b )`` with ``count_b`` the
+    per-sample number of seed entries.  Unused by the shipped prototxts but
+    part of the reference's layer surface.
+    """
+    count = jnp.sum(labels, axis=(1, 2, 3), keepdims=True)
+    per = jnp.sum(labels * jnp.log(probs), axis=(1, 2, 3), keepdims=True) / count
+    return -jnp.mean(per)
+
+
+def balanced_seed_loss(
+    probs: jnp.ndarray, labels: jnp.ndarray, min_prob: float = MIN_PROB
+) -> jnp.ndarray:
+    """The stage-1 seed loss (``BalancedSeedLossLayer``, pylayers.py:120-152).
+
+    Background (class 0) and foreground (classes 1:) cross-entropy terms are
+    normalized separately by their per-sample seed counts, each floored at
+    ``min_prob`` to avoid division by zero, then summed.
+    """
+    probs_bg = probs[..., 0]
+    labels_bg = labels[..., 0]
+    probs_fg = probs[..., 1:]
+    labels_fg = labels[..., 1:]
+
+    count_bg = jnp.sum(labels_bg, axis=(1, 2), keepdims=True)
+    count_fg = jnp.sum(labels_fg, axis=(1, 2, 3), keepdims=True)
+    loss_bg = -jnp.mean(
+        jnp.sum(labels_bg * jnp.log(probs_bg), axis=(1, 2), keepdims=True)
+        / jnp.maximum(count_bg, min_prob)
+    )
+    loss_fg = -jnp.mean(
+        jnp.sum(labels_fg * jnp.log(probs_fg), axis=(1, 2, 3), keepdims=True)
+        / jnp.maximum(count_fg, min_prob)
+    )
+    return loss_bg + loss_fg

@@ -1,0 +1,238 @@
+"""Public dense-CRF API, mirroring the reference's Python surface.
+
+* :func:`CRF` mirrors ``CRF/krahenbuhl2013/CRF.py:4-37`` — same signature,
+  same parameterization ``(10, 80/sf, 80/sf, cf, cf, cf, 3, 3/sf, 3/sf, im)``.
+* :class:`DenseCRF` mirrors the Cython wrapper class
+  (``CRF/krahenbuhl2013/wrapper.pyx:20-60``): ``set_unary_energy`` takes
+  *negative* log-potential costs flattened pixel-major, ``inference`` returns
+  flat (N*M) float32 marginals, ``map`` returns int32 labels.
+* :func:`crf_refine_probs` / :func:`crf_log_refine` are the batched on-device
+  equivalents of the Caffe ``CRFLayer`` and ``DSRGLayer.refinement``
+  (``pylayers/pylayers/pylayers.py:54-92,310-331``) including the reference's
+  *heuristic* backward ``grad = (1 - Q) * g`` — reproduced deliberately via
+  ``jax.custom_vjp`` rather than "fixed" with the true CRF Jacobian.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dsrg_tpu.ops.crf import exact
+from dsrg_tpu.ops.crf.features import bilateral_features, spatial_features
+from dsrg_tpu.ops.interp import zoom_bilinear
+from dsrg_tpu.ops.softmax import MIN_PROB
+
+# Caffe BGR channel means used throughout the reference (pylayers.py:70).
+BGR_MEAN = (104.0, 117.0, 123.0)
+
+
+# ---------------------------------------------------------------------------
+# Functional API (reference CRF.py parity)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("maxiter",))
+def _crf_core(image, unary, maxiter, scale_factor, color_factor):
+    h, w, m = unary.shape
+    img = jnp.round(image).astype(jnp.float32)
+    bila = bilateral_features(
+        img, 80.0 / scale_factor, 80.0 / scale_factor, color_factor, color_factor, color_factor
+    )
+    spat = spatial_features(h, w, 3.0 / scale_factor, 3.0 / scale_factor)
+    q = exact.mean_field_exact(
+        unary.reshape(h * w, m).astype(jnp.float32),
+        (bila, spat),
+        (10.0, 3.0),
+        n_iters=maxiter,
+    )
+    return q.reshape(h, w, m)
+
+
+def CRF(image, unary, maxiter: int = 10, scale_factor: float = 1.0, color_factor: float = 13):
+    """Fully-connected CRF inference with Gaussian potentials.
+
+    Drop-in equivalent of ``krahenbuhl2013.CRF``: ``image`` is (H, W, 3) in
+    [0, 256); ``unary`` is (H, W, M) scores (the engine treats ``-unary`` as
+    the unary cost, so callers pass probabilities or log-probabilities exactly
+    as they did with the reference).  Returns (H, W, M) marginals.
+    """
+    image = jnp.asarray(image)
+    unary = jnp.asarray(unary)
+    assert image.shape[:2] == unary.shape[:2]
+    return _crf_core(image, unary, maxiter, float(scale_factor), float(color_factor))
+
+
+# ---------------------------------------------------------------------------
+# Object API (reference wrapper.pyx parity)
+# ---------------------------------------------------------------------------
+
+
+class PottsCompatibility:
+    """out = -w * Q (labelcompatibility.cpp:45-47)."""
+
+    def __init__(self, w: float):
+        self.w = float(w)
+
+    def __call__(self, m):
+        return -self.w * m
+
+
+class DiagonalCompatibility:
+    """out = diag(v) @ Q (labelcompatibility.cpp:66-69; note: no negation)."""
+
+    def __init__(self, v):
+        self.v = jnp.asarray(v, dtype=jnp.float32)
+
+    def __call__(self, m):
+        return m * self.v[None, :]
+
+
+class MatrixCompatibility:
+    """out = W @ Q with W symmetrized (labelcompatibility.cpp:79-85)."""
+
+    def __init__(self, mat):
+        mat = jnp.asarray(mat, dtype=jnp.float32)
+        self.mat = 0.5 * (mat + mat.T)
+
+    def __call__(self, m):
+        return jnp.dot(m, self.mat.T, precision=jax.lax.Precision.HIGHEST)
+
+
+class DenseCRF:
+    """API-compatible stand-in for the Cython ``DenseCRF`` wrapper class.
+
+    Geometry is (W, H, nlabels) like the reference constructor
+    (``wrapper.pyx:23``); pixel order is row-major (y * W + x), matching the
+    feature construction in ``densecrf.cpp:61-81``.
+    """
+
+    def __init__(self, W: int, H: int, nlabels: int):
+        self.W, self.H, self.M = int(W), int(H), int(nlabels)
+        self.N = self.W * self.H
+        self._unary_cost = jnp.zeros((self.N, self.M), dtype=jnp.float32)
+        self._feats: List[jnp.ndarray] = []
+        self._compats: List = []
+
+    # -- wrapper.pyx surface ------------------------------------------------
+    def npixels(self) -> int:
+        return self.N
+
+    def nlabels(self) -> int:
+        return self.M
+
+    def set_unary_energy(self, unary_costs) -> None:
+        """Flat (N * M) float32 costs, pixel-major (densecrf_wrapper.cpp:32-37)."""
+        u = jnp.asarray(unary_costs, dtype=jnp.float32).reshape(self.N, self.M)
+        self._unary_cost = u
+
+    def add_pairwise_energy(
+        self, w1, theta_alpha_1, theta_alpha_2,
+        theta_betta_1, theta_betta_2, theta_betta_3,
+        w2, theta_gamma_1, theta_gamma_2, im,
+    ) -> None:
+        """Gaussian(theta_gamma, Potts w2) + Bilateral(theta_alpha/betta, Potts w1).
+
+        ``im`` is the flat (H*W*3) byte image (densecrf_wrapper.cpp:18-30).
+        """
+        img = jnp.asarray(im, dtype=jnp.float32).reshape(self.H, self.W, 3)
+        self.add_pairwise_gaussian(theta_gamma_1, theta_gamma_2, PottsCompatibility(w2))
+        self.add_pairwise_bilateral(
+            theta_alpha_1, theta_alpha_2, theta_betta_1, theta_betta_2, theta_betta_3,
+            img, PottsCompatibility(w1),
+        )
+
+    def inference(self, n_iters: int = 10) -> np.ndarray:
+        q = exact.mean_field_general(
+            -self._unary_cost, self._feats, self._compats, n_iters=n_iters
+        )
+        return np.asarray(q, dtype=np.float32).ravel()
+
+    def map(self, n_iters: int = 10) -> np.ndarray:
+        q = self.inference(n_iters).reshape(self.N, self.M)
+        return np.argmax(q, axis=1).astype(np.int32)
+
+    # -- densecrf.h extended surface ---------------------------------------
+    def add_pairwise_gaussian(self, sx, sy, compat) -> None:
+        self._feats.append(spatial_features(self.H, self.W, float(sx), float(sy)))
+        self._compats.append(compat)
+
+    def add_pairwise_bilateral(self, sx, sy, sr, sg, sb, image, compat) -> None:
+        img = jnp.asarray(image, dtype=jnp.float32).reshape(self.H, self.W, 3)
+        self._feats.append(
+            bilateral_features(img, float(sx), float(sy), float(sr), float(sg), float(sb))
+        )
+        self._compats.append(compat)
+
+
+# ---------------------------------------------------------------------------
+# Train-step refinement (CRFLayer / DSRGLayer.refinement parity)
+# ---------------------------------------------------------------------------
+
+
+def prepare_crf_images(images: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Shrink mean-subtracted (B, H, W, 3) BGR images to score resolution.
+
+    Reproduces ``pylayers.py:70-75``: bilinear zoom of the *mean-subtracted*
+    image to (out_h, out_w), re-add the BGR mean, round.
+    """
+    small = zoom_bilinear(images.astype(jnp.float32), out_h, out_w)
+    small = small + jnp.asarray(BGR_MEAN, dtype=jnp.float32)[None, None, None, :]
+    return jnp.round(small)
+
+
+def crf_refine_probs(
+    probs: jnp.ndarray,
+    images: jnp.ndarray,
+    scale_factor: float = 12.0,
+    maxiter: int = 10,
+    min_prob: float = MIN_PROB,
+) -> jnp.ndarray:
+    """Batched CRF refinement of (B, h, w, M) probabilities.
+
+    Equivalent to ``DSRGLayer.refinement`` / the forward of ``CRFLayer``
+    (``pylayers.py:63-88,310-331``): clamp probs to ``min_prob``, run the
+    dense CRF per image with the shrunk image as the bilateral guide, clamp
+    the marginals and renormalize.  ``images`` are mean-subtracted BGR at full
+    resolution (B, H, W, 3).
+    """
+    b, h, w, m = probs.shape
+    probs = jnp.maximum(probs, min_prob)
+    guides = prepare_crf_images(images, h, w)
+
+    def one(p, g):
+        return _crf_core(g, p, maxiter, scale_factor, 13.0)
+
+    q = jax.vmap(one)(probs, guides)
+    q = jnp.maximum(q, min_prob)
+    return q / jnp.sum(q, axis=-1, keepdims=True)
+
+
+@jax.custom_vjp
+def crf_log_refine(probs: jnp.ndarray, images: jnp.ndarray) -> jnp.ndarray:
+    """``CRFLayer`` forward: log of the refined, renormalized marginals.
+
+    Backward is the reference's heuristic ``grad_probs = (1 - Q) * g``
+    (``pylayers.py:90-92``), not the true CRF Jacobian; no gradient flows to
+    the images (``propagate_down: 0`` in train-s.prototxt:769).
+    """
+    return jnp.log(crf_refine_probs(probs, images))
+
+
+def _crf_log_refine_fwd(probs, images):
+    q = crf_refine_probs(probs, images)
+    return jnp.log(q), (q, images)
+
+
+def _crf_log_refine_bwd(res, g):
+    q, images = res
+    # Zero image cotangent (XLA DCEs it): propagate_down is 0 for the image
+    # bottom in the reference graph.
+    return ((1.0 - q) * g, jnp.zeros_like(images))
+
+
+crf_log_refine.defvjp(_crf_log_refine_fwd, _crf_log_refine_bwd)
