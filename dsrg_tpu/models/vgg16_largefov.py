@@ -1,0 +1,105 @@
+"""DeepLab-LargeFOV VGG16 backbone with multi-scale (MSc) dilated heads.
+
+TPU-native re-design of the reference's declarative Caffe graph
+(``training/experiment/seed_mc/train-s.prototxt:41-744`` /
+``deploy.prototxt``): one flax module, NHWC layout, bfloat16-capable compute,
+stride-8 output.
+
+Structure (output stride 8 — 321x321 input -> 41x41 score maps):
+
+  conv1_x(64) -> pool1 MAX 3x3/2   conv2_x(128) -> pool2 MAX 3x3/2
+  conv3_x(256) -> pool3 MAX 3x3/2  conv4_x(512) -> pool4 MAX 3x3/1
+  conv5_x(512, dilation 2) -> pool5 MAX 3x3/1 -> pool5a AVE 3x3/1
+  4 parallel heads, dilation d in {6, 12, 18, 24}:
+     fc6_d 3x3x1024 (dil d) -> relu -> dropout(0.5)
+     -> fc7_d 1x1x1024 -> relu -> dropout(0.5) -> fc8_d 1x1xC
+  summed into the final score map ("fc8-SEC", Eltwise SUM,
+  train-s.prototxt:732-744).
+
+All pooling uses Caffe window semantics (see ``dsrg_tpu.ops.pooling``) —
+including the stride-1 pool4/pool5 and the AVE pool5a that the LargeFOV
+recipe relies on.  Parameter names mirror the prototxt layer names so the
+caffemodel importer maps one-to-one.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from dsrg_tpu.ops.pooling import caffe_avg_pool, caffe_max_pool
+
+# (name, out_channels, dilation) per VGG conv stage.
+_STAGES: Tuple[Tuple[str, int, int, int], ...] = (
+    # name prefix, n convs, channels, dilation
+    ("conv1", 2, 64, 1),
+    ("conv2", 2, 128, 1),
+    ("conv3", 3, 256, 1),
+    ("conv4", 3, 512, 1),
+    ("conv5", 3, 512, 2),
+)
+# pool stride per stage (pool5a AVE handled separately)
+_POOL_STRIDE = (2, 2, 2, 1, 1)
+
+
+class DeepLabLargeFOV(nn.Module):
+    """VGG16 DeepLab-LargeFOV with summed multi-dilation heads.
+
+    Attributes:
+      num_classes: score channels (21 for VOC, 81 for COCO).
+      head_dilations: dilation of each parallel fc6 head (reference: 6/12/18/24).
+      dropout_rate: dropout after fc6/fc7 (reference 0.5).
+      compute_dtype: activation dtype (bfloat16 for speed; params stay fp32).
+    """
+
+    num_classes: int = 21
+    head_dilations: Sequence[int] = (6, 12, 18, 24)
+    dropout_rate: float = 0.5
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """x: (B, H, W, 3) mean-subtracted BGR images. Returns (B, H/8, W/8, C)."""
+        x = x.astype(self.compute_dtype)
+
+        for (name, n_convs, ch, dil), pstride in zip(_STAGES, _POOL_STRIDE):
+            for i in range(1, n_convs + 1):
+                x = nn.Conv(
+                    ch,
+                    (3, 3),
+                    padding=dil,
+                    kernel_dilation=(dil, dil),
+                    dtype=self.compute_dtype,
+                    param_dtype=jnp.float32,
+                    name=f"{name}_{i}",
+                )(x)
+                x = nn.relu(x)
+            x = caffe_max_pool(x, 3, pstride, 1)
+        x = caffe_avg_pool(x, 3, 1, 1)  # pool5a
+
+        scores = None
+        for k, dil in enumerate(self.head_dilations, start=1):
+            h = nn.Conv(
+                1024, (3, 3), padding=dil, kernel_dilation=(dil, dil),
+                dtype=self.compute_dtype, param_dtype=jnp.float32, name=f"fc6_{k}",
+            )(x)
+            h = nn.relu(h)
+            h = nn.Dropout(self.dropout_rate, deterministic=not train)(h)
+            h = nn.Conv(
+                1024, (1, 1), dtype=self.compute_dtype, param_dtype=jnp.float32,
+                name=f"fc7_{k}",
+            )(h)
+            h = nn.relu(h)
+            h = nn.Dropout(self.dropout_rate, deterministic=not train)(h)
+            h = nn.Conv(
+                self.num_classes, (1, 1),
+                kernel_init=nn.initializers.normal(stddev=0.01),
+                bias_init=nn.initializers.zeros,
+                dtype=self.compute_dtype, param_dtype=jnp.float32,
+                name=f"fc8-SEC_{k}",
+            )(h)
+            scores = h if scores is None else scores + h
+
+        return scores.astype(jnp.float32)

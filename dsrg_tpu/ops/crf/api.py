@@ -36,7 +36,6 @@ BGR_MEAN = (104.0, 117.0, 123.0)
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("maxiter",))
 def _crf_core(image, unary, maxiter, scale_factor, color_factor):
     h, w, m = unary.shape
     img = jnp.round(image).astype(jnp.float32)
@@ -53,6 +52,9 @@ def _crf_core(image, unary, maxiter, scale_factor, color_factor):
     return q.reshape(h, w, m)
 
 
+_crf_core_jit = jax.jit(_crf_core, static_argnames=("maxiter",))
+
+
 def CRF(image, unary, maxiter: int = 10, scale_factor: float = 1.0, color_factor: float = 13):
     """Fully-connected CRF inference with Gaussian potentials.
 
@@ -64,7 +66,7 @@ def CRF(image, unary, maxiter: int = 10, scale_factor: float = 1.0, color_factor
     image = jnp.asarray(image)
     unary = jnp.asarray(unary)
     assert image.shape[:2] == unary.shape[:2]
-    return _crf_core(image, unary, maxiter, float(scale_factor), float(color_factor))
+    return _crf_core_jit(image, unary, maxiter, float(scale_factor), float(color_factor))
 
 
 # ---------------------------------------------------------------------------
@@ -236,3 +238,35 @@ def _crf_log_refine_bwd(res, g):
 
 
 crf_log_refine.defvjp(_crf_log_refine_fwd, _crf_log_refine_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def crf_refine_with_log(
+    probs: jnp.ndarray, images: jnp.ndarray, scale_factor: float = 12.0, maxiter: int = 10
+):
+    """Single CRF evaluation returning ``(log Q, Q)`` for the train step.
+
+    The reference computes the *same* CRF twice per step — once in
+    ``CRFLayer`` (constrain-loss input, ``pylayers.py:63-88``) and once in
+    ``DSRGLayer.refinement`` (region-growing input, ``pylayers.py:310-331``)
+    with identical arguments.  We compute it once and hand both consumers
+    their view: ``log Q`` carries the CRFLayer's heuristic backward
+    ``(1 - Q) * g``; the raw ``Q`` is detached (region growing is
+    gradient-free, see ``dsrg_tpu.ops.grow``).
+    """
+    q = crf_refine_probs(probs, images, scale_factor=scale_factor, maxiter=maxiter)
+    return jnp.log(q), q
+
+
+def _crf_refine_with_log_fwd(probs, images, scale_factor, maxiter):
+    q = crf_refine_probs(probs, images, scale_factor=scale_factor, maxiter=maxiter)
+    return (jnp.log(q), q), (q, images)
+
+
+def _crf_refine_with_log_bwd(scale_factor, maxiter, res, cts):
+    q, images = res
+    g_log, _ = cts  # cotangent on the detached Q output is ignored
+    return ((1.0 - q) * g_log, jnp.zeros_like(images))
+
+
+crf_refine_with_log.defvjp(_crf_refine_with_log_fwd, _crf_refine_with_log_bwd)

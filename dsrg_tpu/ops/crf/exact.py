@@ -62,7 +62,6 @@ def _softmax_cols(x: jnp.ndarray) -> jnp.ndarray:
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
-@partial(jax.jit, static_argnames=("n_iters", "precision"))
 def mean_field_exact(
     unary: jnp.ndarray,
     feats_list: Sequence[jnp.ndarray],

@@ -132,7 +132,6 @@ def grow_seeds_single(
     return seed_final
 
 
-@partial(jax.jit, static_argnames=("th1", "th2"))
 def dsrg_grow(
     image_labels: jnp.ndarray,
     cues: jnp.ndarray,

@@ -1,0 +1,7 @@
+from dsrg_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_batch,
+    data_parallel_step,
+)

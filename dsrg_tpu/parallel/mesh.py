@@ -1,0 +1,61 @@
+"""Device-mesh construction and data-parallel step wrapping.
+
+The reference is strictly single-GPU (``SURVEY.md`` §2.4: no collectives, no
+multi-device support anywhere; host multiprocessing is its only parallelism).
+Here data parallelism is first-class: a 1-axis ``Mesh`` over all local (or a
+multi-slice set of) devices, batch sharded over the ``data`` axis, parameters
+replicated, and gradients reduced with ``psum`` over ICI inside a
+``shard_map``-wrapped train step.  The per-device flood-fill/CRF work stays
+local — no per-iteration cross-device synchronization (which a naive
+``jit``-sharded ``while_loop`` would introduce for the convergence check).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices: Optional[Sequence] = None, axis: str = DATA_AXIS) -> Mesh:
+    devices = list(jax.devices()) if devices is None else list(devices)
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def batch_sharding(mesh: Mesh, ndim: int, axis: str = DATA_AXIS) -> NamedSharding:
+    """Shard the leading (batch) dimension; replicate the rest."""
+    return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh, axis: str = DATA_AXIS) -> dict:
+    return {
+        k: jax.device_put(v, batch_sharding(mesh, np.ndim(v), axis))
+        for k, v in batch.items()
+    }
+
+
+def data_parallel_step(step_fn, mesh: Mesh, axis: str = DATA_AXIS, donate_state: bool = True):
+    """Wrap a per-shard (state, batch) -> (state, metrics) step with shard_map.
+
+    ``step_fn`` must have been built with ``axis_name=axis`` so it pmean-reduces
+    gradients/metrics itself.  State is replicated; every leading batch dim is
+    sharded over ``axis``.
+    """
+    batch_spec = P(axis)
+    mapped = jax.shard_map(
+        step_fn,
+        mesh=mesh,
+        in_specs=(P(), batch_spec),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0,) if donate_state else ())

@@ -1,0 +1,124 @@
+"""Stage-1 DSRG training step — the reference's entire per-iteration pipeline
+(``SURVEY.md`` §3.1) as one jit-compiled on-device program.
+
+Per step (reference layer order, train-s.prototxt):
+  joint random mirror of images+cues  (AnnotationLayer, pylayers.py:384-387)
+  -> VGG16-LargeFOV forward            (conv1_1..fc8-SEC, Eltwise SUM)
+  -> floored softmax                   (SoftmaxLayer)
+  -> dense-CRF refinement, once        (CRFLayer + DSRGLayer.refinement fused;
+                                        identical computations in the reference)
+  -> seeded region growing             (DSRGLayer, gradient-free)
+  -> balanced seed loss + constrain loss, both weight 1
+  -> backward + Caffe-SGD momentum update (step-lr policy)
+
+The clamp ``probs = max(probs, min_prob)`` before the CRF mirrors the
+CRFLayer's in-place mutation of the shared softmax blob (pylayers.py:67) that
+downstream layers (DSRG, seed loss) then observe.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dsrg_tpu.config import Stage1Config
+from dsrg_tpu.losses import balanced_seed_loss, constrain_loss
+from dsrg_tpu.ops.crf import crf_refine_with_log
+from dsrg_tpu.ops.grow import dsrg_grow
+from dsrg_tpu.ops.softmax import MIN_PROB, floored_softmax
+from dsrg_tpu.train.optimizer import caffe_sgd, lr_step
+from dsrg_tpu.train.train_state import TrainState
+
+
+def make_optimizer(cfg: Stage1Config) -> optax.GradientTransformation:
+    return caffe_sgd(
+        lr_step(cfg.base_lr, cfg.gamma, cfg.stepsize),
+        momentum=cfg.momentum,
+        weight_decay=cfg.weight_decay,
+    )
+
+
+def make_stage1_step(
+    model, cfg: Stage1Config, tx: optax.GradientTransformation, axis_name: str | None = None
+):
+    """Build the (state, batch) -> (state, metrics) step function.
+
+    ``batch``: dict with
+      images: (B, H, W, 3) float32 mean-subtracted BGR
+      labels: (B, M) float32 multi-hot image labels (bit 0 = bg, always 1)
+      cues:   (B, h, w, M) float32 seed cues at score resolution
+
+    With ``axis_name`` set the step is shard_map-ready: per-device RNGs are
+    decorrelated by the mesh position and gradients/metrics are pmean-reduced
+    over the data axis before the (replicated) optimizer update.
+    """
+
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, dict]:
+        base_rng = state.rng
+        if axis_name is not None:
+            base_rng = jax.random.fold_in(base_rng, jax.lax.axis_index(axis_name))
+        rng, _ = jax.random.split(state.rng)  # advance the shared stream
+        _, drop_rng, flip_rng = jax.random.split(base_rng, 3)
+        images = batch["images"]
+        labels = batch["labels"]
+        cues = batch["cues"]
+
+        if cfg.mirror:
+            flip = jax.random.bernoulli(flip_rng, 0.5, (images.shape[0],))
+            images = jnp.where(flip[:, None, None, None], images[:, :, ::-1, :], images)
+            cues = jnp.where(flip[:, None, None, None], cues[:, :, ::-1, :], cues)
+
+        def loss_fn(params):
+            scores = model.apply(
+                {"params": params}, images, train=True, rngs={"dropout": drop_rng}
+            )
+            probs = floored_softmax(scores)
+            probs = jnp.maximum(probs, MIN_PROB)  # CRFLayer blob mutation
+            q_log, q = crf_refine_with_log(probs, images, cfg.crf_scale_factor, cfg.crf_iters)
+            cues_new = dsrg_grow(labels, cues, q, th1=cfg.th1, th2=cfg.th2)
+            l_seed = balanced_seed_loss(probs, cues_new)
+            l_con = constrain_loss(probs, q_log)
+            return l_seed + l_con, (l_seed, l_con, cues_new)
+
+        (loss, (l_seed, l_con, cues_new)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+            l_seed = jax.lax.pmean(l_seed, axis_name)
+            l_con = jax.lax.pmean(l_con, axis_name)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        seed_pixels = jnp.sum(cues_new)
+        if axis_name is not None:
+            seed_pixels = jax.lax.psum(seed_pixels, axis_name)
+        metrics = {
+            "loss": loss,
+            "loss_seed": l_seed,
+            "loss_constrain": l_con,
+            "seed_pixels": seed_pixels,
+        }
+        new_state = state.replace(
+            params=params, opt_state=opt_state, rng=rng, step=state.step + 1
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def init_stage1(model, cfg: Stage1Config, rng=None):
+    """Initialize params + state (solver random_seed 0 by default)."""
+    rng = jax.random.PRNGKey(cfg.seed) if rng is None else rng
+    init_rng, state_rng = jax.random.split(rng)
+    dummy = jnp.zeros((1, cfg.crop_size, cfg.crop_size, 3), jnp.float32)
+    variables = model.init({"params": init_rng}, dummy, train=False)
+    tx = make_optimizer(cfg)
+    state = TrainState.create(variables["params"], tx, state_rng)
+    return state, tx

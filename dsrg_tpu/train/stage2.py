@@ -1,0 +1,82 @@
+"""Stage-2 retraining step: plain DeepLab training on pseudo ground truth.
+
+Reference: ``train-f.prototxt`` — ImageSegDataLayer batch 10 @ 321^2 crops,
+backbone + heads, ``Interp`` shrink x8 of the label map, ``SoftmaxWithLoss``
+with ignore_label 255, ``SegAccuracy``; poly-lr Caffe SGD
+(``solver-f.prototxt``).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dsrg_tpu.config import Stage2Config
+from dsrg_tpu.losses import softmax_cross_entropy_ignore
+from dsrg_tpu.ops.interp import caffe_interp_shrink
+from dsrg_tpu.train.optimizer import caffe_sgd, lr_poly
+from dsrg_tpu.train.train_state import TrainState
+
+
+def make_optimizer(cfg: Stage2Config) -> optax.GradientTransformation:
+    return caffe_sgd(
+        lr_poly(cfg.base_lr, cfg.power, cfg.max_iter),
+        momentum=cfg.momentum,
+        weight_decay=cfg.weight_decay,
+    )
+
+
+def make_stage2_step(
+    model, cfg: Stage2Config, tx: optax.GradientTransformation, axis_name: str | None = None
+):
+    """batch: images (B, H, W, 3) float32; labels (B, H, W) int32 (255 = ignore)."""
+
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, dict]:
+        base_rng = state.rng
+        if axis_name is not None:
+            base_rng = jax.random.fold_in(base_rng, jax.lax.axis_index(axis_name))
+        rng, _ = jax.random.split(state.rng)
+        _, drop_rng = jax.random.split(base_rng)
+        images = batch["images"]
+        labels = batch["labels"]
+
+        # Interp shrink x8 on the integer label map (lossless subsampling at
+        # the recipe's 321 -> 41 geometry, see ops/interp.py).
+        small = caffe_interp_shrink(
+            labels[..., None].astype(jnp.float32), cfg.shrink_factor
+        )[..., 0].astype(jnp.int32)
+
+        def loss_fn(params):
+            scores = model.apply(
+                {"params": params}, images, train=True, rngs={"dropout": drop_rng}
+            )
+            loss, acc = softmax_cross_entropy_ignore(scores, small, cfg.ignore_label)
+            return loss, acc
+
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+            acc = jax.lax.pmean(acc, axis_name)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, "accuracy": acc}
+        new_state = state.replace(
+            params=params, opt_state=opt_state, rng=rng, step=state.step + 1
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def init_stage2(model, cfg: Stage2Config, rng=None):
+    rng = jax.random.PRNGKey(cfg.seed) if rng is None else rng
+    init_rng, state_rng = jax.random.split(rng)
+    dummy = jnp.zeros((1, cfg.crop_size, cfg.crop_size, 3), jnp.float32)
+    variables = model.init({"params": init_rng}, dummy, train=False)
+    tx = make_optimizer(cfg)
+    state = TrainState.create(variables["params"], tx, state_rng)
+    return state, tx
