@@ -1,0 +1,54 @@
+"""Background-thread prefetching host->device pipeline.
+
+The reference's data layers are synchronous (a dormant producer-queue exists
+in ``AnnotationLayerCOCO.start_batch`` but is never started,
+``pylayers.py:412,467-475``); here host IO/augmentation overlaps device
+compute: a worker thread fills a bounded queue with numpy batches while the
+main thread moves them onto the device (sharded over the mesh when given).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterable, Iterator, Optional
+
+import jax
+
+from dsrg_tpu.parallel.mesh import shard_batch
+
+
+class PrefetchLoader:
+    def __init__(self, dataset: Iterable[dict], mesh=None, prefetch: int = 2):
+        self.dataset = dataset
+        self.mesh = mesh
+        self.queue: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self) -> None:
+        for batch in self.dataset:
+            if self._stop.is_set():
+                return
+            self.queue.put(batch)
+        self.queue.put(None)
+
+    def __iter__(self) -> Iterator[dict]:
+        return self
+
+    def __next__(self) -> dict:
+        batch = self.queue.get()
+        if batch is None:
+            raise StopIteration
+        if self.mesh is not None:
+            return shard_batch(batch, self.mesh)
+        return {k: jax.device_put(v) for k, v in batch.items()}
+
+    def close(self) -> None:
+        self._stop.set()
+        try:
+            while True:
+                self.queue.get_nowait()
+        except queue.Empty:
+            pass

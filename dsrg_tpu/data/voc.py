@@ -1,0 +1,200 @@
+"""PASCAL VOC data pipeline (stage-1 cue training and stage-2 pseudo-GT).
+
+Host-side equivalents of the reference's three data layers, emitting NHWC
+batches for the jitted train steps:
+
+* stage 1: Caffe ``ImageData`` (resize to 321x321, BGR, mean-subtract,
+  shuffle, ``train-s.prototxt:3-22``) + ``AnnotationLayer`` cue lookup
+  (``pylayers.py:346-387``; the joint random mirror is applied *on device*
+  inside the train step).
+* stage 2: ``ImageSegDataLayer`` / ``SimpleTransformer``
+  (``pylayers/pylayers/layer.py``): pad to crop size with ignore-label mask
+  padding, random (train) or center (test) crop, mirror handled on device.
+
+Images load through PIL; resizes use ``scipy.ndimage.zoom`` order-1 — the
+same routine the reference tools call — for bit parity.
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+from scipy.ndimage import zoom as ndzoom
+
+from dsrg_tpu.data.cues import CueDB
+
+BGR_MEAN = np.array([104.0, 117.0, 123.0], np.float32)
+
+
+def read_id_list(path: str) -> List[str]:
+    """Bare image-id lists (train_aug_id.txt / val_id.txt)."""
+    return [ln.strip() for ln in open(path) if ln.strip()]
+
+
+def read_pair_list(path: str) -> List[Tuple[str, str]]:
+    """Two-column lists: 'image.jpg id' (input_list.txt) or img/label paths (train.txt)."""
+    out = []
+    for ln in open(path):
+        ln = ln.strip()
+        if ln:
+            a, b = ln.split()
+            out.append((a, b))
+    return out
+
+
+def load_image_bgr(path: str) -> np.ndarray:
+    """(H, W, 3) float32 BGR image in [0, 255] (cv2.imread convention)."""
+    rgb = np.asarray(Image.open(path).convert("RGB"), dtype=np.float32)
+    return rgb[:, :, ::-1]
+
+
+def preprocess_image(
+    image_bgr: np.ndarray, size: int, mean: np.ndarray = BGR_MEAN
+) -> np.ndarray:
+    """Resize to size x size (scipy order-1 zoom) and mean-subtract. HWC BGR."""
+    img = ndzoom(
+        image_bgr.astype(np.float32),
+        (size / float(image_bgr.shape[0]), size / float(image_bgr.shape[1]), 1.0),
+        order=1,
+    )
+    return img - mean
+
+
+class Stage1Dataset:
+    """(images, labels, cues) batches from an input list + cue pickle.
+
+    ``input_list.txt`` rows are '<file>.jpg <numeric-id>' where the id keys
+    the cue pickle (``train-s.prototxt:3-22``, ``pylayers.py:375-382``).
+    """
+
+    def __init__(
+        self,
+        image_dir: str,
+        input_list: str,
+        cue_db: CueDB,
+        crop_size: int = 321,
+        batch_size: int = 20,
+        shuffle: bool = True,
+        seed: int = 0,
+    ):
+        self.image_dir = image_dir
+        self.entries = read_pair_list(input_list)
+        self.cue_db = cue_db
+        self.crop_size = crop_size
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+        self._order = np.arange(len(self.entries))
+        self._pos = len(self.entries)  # trigger reshuffle on first batch
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def _next_index(self) -> int:
+        if self._pos >= len(self._order):
+            if self.shuffle:
+                self.rng.shuffle(self._order)
+            self._pos = 0
+        idx = self._order[self._pos]
+        self._pos += 1
+        return int(idx)
+
+    def next_batch(self) -> dict:
+        n = self.batch_size
+        m = self.cue_db.num_classes
+        s = self.cue_db.cue_size
+        images = np.empty((n, self.crop_size, self.crop_size, 3), np.float32)
+        labels = np.empty((n, m), np.float32)
+        cues = np.empty((n, s, s, m), np.float32)
+        for i in range(n):
+            fname, image_id = self.entries[self._next_index()]
+            img = load_image_bgr(osp.join(self.image_dir, fname))
+            images[i] = preprocess_image(img, self.crop_size)
+            labels[i], cues[i] = self.cue_db.get(int(image_id))
+        return {"images": images, "labels": labels, "cues": cues}
+
+    def __iter__(self) -> Iterator[dict]:
+        while True:
+            yield self.next_batch()
+
+
+class Stage2Dataset:
+    """(images, labels) crops from an (image, pseudo-GT) pair list.
+
+    SimpleTransformer semantics (``layer.py:169-236``): mean-subtract, pad
+    bottom/right to crop size (image with 0, label with ignore_label), random
+    crop in Train phase / center crop otherwise.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        pair_list: str,
+        crop_size: int = 321,
+        batch_size: int = 10,
+        mean: np.ndarray = BGR_MEAN,
+        ignore_label: int = 255,
+        phase: str = "Train",
+        seed: int = 0,
+    ):
+        self.root = root
+        self.entries = read_pair_list(pair_list)
+        self.crop = crop_size
+        self.batch_size = batch_size
+        self.mean = np.asarray(mean, np.float32)
+        self.ignore_label = ignore_label
+        self.phase = phase
+        self.rng = np.random.default_rng(seed)
+        self._order = np.arange(len(self.entries))
+        self._pos = len(self.entries)
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def _next_index(self) -> int:
+        if self._pos >= len(self._order):
+            self.rng.shuffle(self._order)
+            self._pos = 0
+        idx = self._order[self._pos]
+        self._pos += 1
+        return int(idx)
+
+    def _load_pair(self, img_path: str, lbl_path: str):
+        # the reference concatenates root + path verbatim (layer.py:113-114)
+        image = load_image_bgr(self.root + img_path) - self.mean
+        label = np.asarray(Image.open(self.root + lbl_path), dtype=np.float32)
+        if label.ndim == 3:
+            label = label[..., 0]
+        c = self.crop
+        pad_h = max(c - image.shape[0], 0)
+        pad_w = max(c - image.shape[1], 0)
+        if pad_h or pad_w:
+            image = np.pad(image, ((0, pad_h), (0, pad_w), (0, 0)))
+            label = np.pad(label, ((0, pad_h), (0, pad_w)),
+                           constant_values=self.ignore_label)
+        h, w = label.shape
+        if self.phase == "Train":
+            off_h = self.rng.integers(0, h - c + 1)
+            off_w = self.rng.integers(0, w - c + 1)
+        else:
+            off_h, off_w = (h - c) // 2, (w - c) // 2
+        return (
+            image[off_h : off_h + c, off_w : off_w + c],
+            label[off_h : off_h + c, off_w : off_w + c].astype(np.int32),
+        )
+
+    def next_batch(self) -> dict:
+        n, c = self.batch_size, self.crop
+        images = np.empty((n, c, c, 3), np.float32)
+        labels = np.empty((n, c, c), np.int32)
+        for i in range(n):
+            img_path, lbl_path = self.entries[self._next_index()]
+            images[i], labels[i] = self._load_pair(img_path, lbl_path)
+        return {"images": images, "labels": labels}
+
+    def __iter__(self) -> Iterator[dict]:
+        while True:
+            yield self.next_batch()

@@ -54,19 +54,51 @@ def _crf_core(image, unary, maxiter, scale_factor, color_factor):
 
 _crf_core_jit = jax.jit(_crf_core, static_argnames=("maxiter",))
 
+# Above this pixel count the N^2 exact engine gives way to the bilateral-grid
+# approximation (both approximate/realize the same Gaussian kernel; the
+# reference's permutohedral lattice is likewise an approximation).
+EXACT_MAX_PIXELS = 8192
 
-def CRF(image, unary, maxiter: int = 10, scale_factor: float = 1.0, color_factor: float = 13):
+
+@partial(jax.jit, static_argnames=("maxiter", "scale_factor", "color_factor"))
+def _crf_grid_jit(image, unary, maxiter, scale_factor, color_factor):
+    from dsrg_tpu.ops.crf.grid import mean_field_grid
+
+    return mean_field_grid(
+        unary.astype(jnp.float32),
+        image,
+        n_iters=maxiter,
+        scale_factor=scale_factor,
+        color_factor=color_factor,
+    )
+
+
+def CRF(
+    image,
+    unary,
+    maxiter: int = 10,
+    scale_factor: float = 1.0,
+    color_factor: float = 13,
+    engine: str = "auto",
+):
     """Fully-connected CRF inference with Gaussian potentials.
 
     Drop-in equivalent of ``krahenbuhl2013.CRF``: ``image`` is (H, W, 3) in
     [0, 256); ``unary`` is (H, W, M) scores (the engine treats ``-unary`` as
     the unary cost, so callers pass probabilities or log-probabilities exactly
     as they did with the reference).  Returns (H, W, M) marginals.
+
+    ``engine``: "exact" (N^2 kernel, bit-accurate), "grid" (bilateral-grid
+    approximation for large images), or "auto" (exact up to
+    ``EXACT_MAX_PIXELS`` pixels, grid beyond).
     """
     image = jnp.asarray(image)
     unary = jnp.asarray(unary)
     assert image.shape[:2] == unary.shape[:2]
-    return _crf_core_jit(image, unary, maxiter, float(scale_factor), float(color_factor))
+    n = image.shape[0] * image.shape[1]
+    if engine == "exact" or (engine == "auto" and n <= EXACT_MAX_PIXELS):
+        return _crf_core_jit(image, unary, maxiter, float(scale_factor), float(color_factor))
+    return _crf_grid_jit(image, unary, maxiter, float(scale_factor), float(color_factor))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,57 @@
+"""Shared driver for the inference CLIs (test / test-ms / test-ms-f / coco).
+
+Mirrors the main loops of ``training/tools/test*.py``: iterate an id list,
+predict a mask per image, write ``<id>.png`` to the output dir.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+from typing import Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+from dsrg_tpu.inference import Predictor
+from dsrg_tpu.models import DeepLabLargeFOV
+from dsrg_tpu.train.checkpoint import load_params
+from dsrg_tpu.utils.palette import write_png
+
+
+def build_arg_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--images", dest="image_list", required=True, help="id list file")
+    p.add_argument("--dir", dest="data_dir", required=True, help="VOC root (with JPEGImages/)")
+    p.add_argument("--model", dest="model", required=True, help="params checkpoint path")
+    p.add_argument("--net", dest="net", default=None, help="unused (prototxt parity flag)")
+    p.add_argument("--output", dest="output_dir", default="", help="output png dir")
+    p.add_argument("--smooth", dest="smooth", action="store_true", help="CRF post-processing")
+    p.add_argument("--gpu", dest="gpu_id", default=0, type=int, help="unused (parity flag)")
+    p.add_argument("--num-classes", default=21, type=int)
+    return p
+
+
+def load_predictor(model_path: str, num_classes: int) -> Predictor:
+    model = DeepLabLargeFOV(num_classes=num_classes)
+    params = load_params(model_path)
+    return Predictor(model, params, num_classes=num_classes)
+
+
+def run_inference(
+    args,
+    sizes: Optional[Sequence[int]] = None,
+    scales: Optional[Sequence[float]] = None,
+) -> None:
+    predictor = load_predictor(args.model, args.num_classes)
+    image_ids = [ln.strip() for ln in open(args.image_list) if ln.strip()]
+    data_dir = osp.join(args.data_dir, "JPEGImages")
+    if args.output_dir and not osp.isdir(args.output_dir):
+        os.makedirs(args.output_dir)
+    for index, img_id in enumerate(image_ids):
+        print(index, img_id, flush=True)
+        image = np.asarray(Image.open(osp.join(data_dir, img_id + ".jpg")).convert("RGB"))
+        mask = predictor.predict_mask(image, sizes=sizes, scales=scales, smooth=args.smooth)
+        if args.output_dir:
+            write_png(mask, osp.join(args.output_dir, img_id + ".png"))

@@ -1,0 +1,86 @@
+"""Two-stage VOC recipe driver — the ``run.sh`` equivalent.
+
+  1. stage-s DSRG training (8k iters) from ImageNet VGG16 weights
+  2. multi-scale dump of pseudo GT over train_aug (test-ms, smooth)
+  3. stage-f retraining (20k iters) from the stage-s model
+  4. multi-scale val predictions (test-ms-f, smooth)
+  5. mIoU evaluation against SegmentationClass
+
+(``training/experiment/seed_mc/run.sh:1-11``)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os.path as osp
+
+from dsrg_tpu.tools import evaluate as evaluate_tool
+from dsrg_tpu.tools import train as train_tool
+from dsrg_tpu.tools._infer_common import build_arg_parser, run_inference
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--pascal-dir", required=True, help="VOC12 root")
+    p.add_argument("--list-dir", required=True, help="dir with input_list.txt etc.")
+    p.add_argument("--cues", required=True, help="localization_cues-sal.pickle")
+    p.add_argument("--weights", default=None, help="ImageNet VGG16 init params")
+    p.add_argument("--work-dir", default="work", help="output dir")
+    p.add_argument("--stage1-iters", type=int, default=8000)
+    p.add_argument("--stage2-iters", type=int, default=20000)
+    p.add_argument("--dtype", default="bfloat16")
+    args = p.parse_args(argv)
+
+    w = args.work_dir
+    ld = args.list_dir
+    jpeg = osp.join(args.pascal_dir, "JPEGImages")
+
+    # 1. stage-s training
+    s_args = ["--stage", "s", "--image-dir", jpeg,
+              "--input-list", osp.join(ld, "input_list.txt"), "--cues", args.cues,
+              "--snapshot-dir", osp.join(w, "model-s"),
+              "--max-iter", str(args.stage1_iters),
+              "--dtype", args.dtype]
+    if args.weights:
+        s_args += ["--weights", args.weights]
+    train_tool.main(s_args)
+    model_s = osp.join(w, "model-s", f"step_{args.stage1_iters}_params")
+
+    # 2. pseudo-GT dump over train_aug
+    dsrg_out = osp.join(w, "DSRGOutput")
+    test_ms_args = ["--images", osp.join(ld, "train_aug_id.txt"), "--dir", args.pascal_dir,
+                    "--model", model_s, "--output", dsrg_out, "--smooth"]
+    ms = build_arg_parser("").parse_args(test_ms_args)
+    run_inference(ms, sizes=[241, 321, 401])
+
+    # 3. stage-f retraining (pair list written against the pseudo GT)
+    pair_list = osp.join(w, "train_pairs.txt")
+    ids = [ln.strip() for ln in open(osp.join(ld, "train_aug_id.txt")) if ln.strip()]
+    with open(pair_list, "w") as f:
+        for i in ids:
+            f.write(f"/JPEGImages/{i}.jpg {osp.relpath(osp.join(dsrg_out, i + '.png'), args.pascal_dir)}\n")
+    f_args = ["--stage", "f", "--root", args.pascal_dir, "--pair-list", pair_list,
+              "--snapshot-dir", osp.join(w, "model-f"),
+              "--max-iter", str(args.stage2_iters),
+              "--weights", model_s, "--dtype", args.dtype]
+    train_tool.main(f_args)
+    model_f = osp.join(w, "model-f", f"step_{args.stage2_iters}_params")
+
+    # 4. final val predictions
+    final_out = osp.join(w, "DSRG_final_output")
+    mf = build_arg_parser("").parse_args(
+        ["--images", osp.join(ld, "val_id.txt"), "--dir", args.pascal_dir,
+         "--model", model_f, "--output", final_out, "--smooth"]
+    )
+    run_inference(mf, scales=[0.75, 1.0, 1.25])
+
+    # 5. evaluate
+    evaluate_tool.main(
+        ["--pred", final_out, "--gt", osp.join(args.pascal_dir, "SegmentationClass"),
+         "--test_ids", osp.join(ld, "val_id.txt"),
+         "--save_path", osp.join(w, "DSRG_result_final.txt"), "--class_num", "21"]
+    )
+
+
+if __name__ == "__main__":
+    main()

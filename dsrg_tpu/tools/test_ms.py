@@ -1,0 +1,13 @@
+"""Multi-scale inference at sizes [241, 321, 401] — mirror of
+``training/tools/test-ms.py`` (stage-1 pseudo-GT dump, ``run.sh:6``)."""
+
+from dsrg_tpu.tools._infer_common import build_arg_parser, run_inference
+
+
+def main() -> None:
+    args = build_arg_parser(__doc__).parse_args()
+    run_inference(args, sizes=[241, 321, 401])
+
+
+if __name__ == "__main__":
+    main()

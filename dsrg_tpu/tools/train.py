@@ -1,0 +1,143 @@
+"""Training CLI — mirror of ``training/tools/train.py`` + ``run.sh`` stages.
+
+The reference takes ``--solver/--weights/--snapshot/--gpu``; the solver
+prototxt is replaced by ``--stage {s,f}`` selecting the built-in
+solver-s/solver-f hyperparameters (overridable via flags).  ``--weights``
+warm-starts parameters (``net.copy_from`` semantics); ``--snapshot`` resumes
+a full train state (``solver.restore`` semantics).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import time
+
+import jax
+import numpy as np
+
+from dsrg_tpu.config import Stage1Config, Stage2Config
+from dsrg_tpu.data.cues import CueDB
+from dsrg_tpu.data.loader import PrefetchLoader
+from dsrg_tpu.data.voc import Stage1Dataset, Stage2Dataset
+from dsrg_tpu.models import DeepLabLargeFOV
+from dsrg_tpu.parallel import data_parallel_step, make_mesh
+from dsrg_tpu.train import checkpoint as ckpt
+from dsrg_tpu.train.stage1 import init_stage1, make_stage1_step
+from dsrg_tpu.train.stage2 import init_stage2, make_stage2_step
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Train a DSRG network")
+    p.add_argument("--stage", choices=["s", "f"], required=True,
+                   help="s = DSRG seed training, f = retrain on pseudo GT")
+    p.add_argument("--weights", default=None, help="params checkpoint to warm-start from")
+    p.add_argument("--snapshot", default=None, help="full train-state checkpoint to resume")
+    p.add_argument("--snapshot-dir", default="models", help="snapshot output dir")
+    p.add_argument("--gpu", dest="gpu_id", default=0, type=int, help="unused (parity flag)")
+    # data
+    p.add_argument("--image-dir", help="stage s: JPEGImages dir")
+    p.add_argument("--input-list", help="stage s: input_list.txt (file id pairs)")
+    p.add_argument("--cues", help="stage s: localization cue pickle")
+    p.add_argument("--root", help="stage f: dataset root")
+    p.add_argument("--pair-list", help="stage f: train.txt (image gt pairs)")
+    # solver overrides
+    p.add_argument("--max-iter", type=int, default=None)
+    p.add_argument("--base-lr", type=float, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--crop-size", type=int, default=None)
+    p.add_argument("--snapshot-every", type=int, default=None)
+    p.add_argument("--num-classes", type=int, default=21)
+    p.add_argument("--display", type=int, default=10)
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--no-mesh", action="store_true", help="force single-device")
+    return p.parse_args(argv)
+
+
+def _override(cfg, args):
+    changes = {}
+    if args.max_iter is not None:
+        changes["max_iter"] = args.max_iter
+    if args.base_lr is not None:
+        changes["base_lr"] = args.base_lr
+    if args.batch_size is not None:
+        changes["batch_size"] = args.batch_size
+    if args.crop_size is not None:
+        changes["crop_size"] = args.crop_size
+        if hasattr(cfg, "cue_size"):
+            changes["cue_size"] = (args.crop_size - 1) // 8 + 1
+    if args.snapshot_every is not None:
+        changes["snapshot_every"] = args.snapshot_every
+    changes["num_classes"] = args.num_classes
+    changes["compute_dtype"] = args.dtype
+    return dataclasses.replace(cfg, **changes)
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    if args.stage == "s":
+        cfg = _override(Stage1Config(), args)
+        model = DeepLabLargeFOV(num_classes=cfg.num_classes, compute_dtype=dtype)
+        state, tx = init_stage1(model, cfg)
+        cue_db = CueDB(args.cues, num_classes=cfg.num_classes, cue_size=cfg.cue_size)
+        dataset = Stage1Dataset(
+            args.image_dir, args.input_list, cue_db,
+            crop_size=cfg.crop_size, batch_size=cfg.batch_size, seed=cfg.seed,
+        )
+        make_step = lambda axis: make_stage1_step(model, cfg, tx, axis_name=axis)
+    else:
+        cfg = _override(Stage2Config(), args)
+        model = DeepLabLargeFOV(num_classes=cfg.num_classes, compute_dtype=dtype)
+        state, tx = init_stage2(model, cfg)
+        dataset = Stage2Dataset(
+            args.root, args.pair_list,
+            crop_size=cfg.crop_size, batch_size=cfg.batch_size, seed=cfg.seed,
+        )
+        make_step = lambda axis: make_stage2_step(model, cfg, tx, axis_name=axis)
+
+    if args.weights:
+        source = ckpt.load_params(args.weights)
+        state = state.replace(params=ckpt.copy_from(state.params, source))
+    if args.snapshot:
+        state = ckpt.restore_checkpoint(args.snapshot, state)
+
+    n_dev = len(jax.devices())
+    use_mesh = (not args.no_mesh) and n_dev > 1 and cfg.batch_size % n_dev == 0
+    if use_mesh:
+        mesh = make_mesh()
+        step = data_parallel_step(make_step("data"), mesh, donate_state=False)
+        loader = PrefetchLoader(dataset, mesh=mesh)
+        print(f"data-parallel over {n_dev} devices, {cfg.batch_size // n_dev} images/device")
+    else:
+        step = jax.jit(make_step(None), donate_argnums=())
+        loader = PrefetchLoader(dataset)
+        print("single-device training")
+
+    start_iter = int(state.step)
+    avg, t0 = [], time.time()
+    for it in range(start_iter, cfg.max_iter):
+        batch = next(loader)
+        state, metrics = step(state, batch)
+        avg.append(float(metrics["loss"]))
+        if (it + 1) % args.display == 0:
+            dt = (time.time() - t0) / args.display
+            ips = cfg.batch_size / dt
+            print(
+                f"iter {it + 1}: loss = {np.mean(avg[-args.display:]):.4f} "
+                f"({dt * 1000:.0f} ms/iter, {ips:.1f} img/s)",
+                flush=True,
+            )
+            t0 = time.time()
+        if (it + 1) % cfg.snapshot_every == 0 or (it + 1) == cfg.max_iter:
+            path = ckpt.save_checkpoint(args.snapshot_dir, state, it + 1)
+            ckpt.save_params(path + "_params", state.params)
+            print("snapshot ->", path, flush=True)
+    loader.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,139 @@
+import os
+import os.path as osp
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from dsrg_tpu.data.cues import CueDB, save_cue_db
+from dsrg_tpu.data.voc import Stage1Dataset, Stage2Dataset, preprocess_image
+from dsrg_tpu.utils.confusion import ConfusionMatrix, confusion_matrix_np
+from dsrg_tpu.utils.palette import read_mask_png, write_palette_png, write_png
+
+
+def test_confusion_matrix_matches_loop_reference():
+    rng = np.random.default_rng(0)
+    nclass = 5
+    gt = rng.integers(0, nclass, 500)
+    gt[::17] = 255  # ignore
+    pred = rng.integers(0, nclass, 500)
+    m = confusion_matrix_np(gt, pred, nclass)
+    # reference per-pixel loop (evaluate.py:62-68)
+    ref = np.zeros((nclass, nclass))
+    for g, p in zip(gt, pred):
+        if g < nclass:
+            ref[g, p] += 1.0
+    np.testing.assert_array_equal(m, ref)
+
+
+def test_jaccard_skips_empty_diagonal_classes():
+    conf = ConfusionMatrix(3)
+    conf.addM(np.array([[10, 2, 0], [1, 5, 0], [0, 0, 0]], np.float64))
+    mean, per_class, _ = conf.jaccard()
+    assert len(per_class) == 2  # class 2 skipped (diag == 0), evaluate.py:55-57
+    np.testing.assert_allclose(per_class[0], 10 / 13)
+    np.testing.assert_allclose(per_class[1], 5 / 8)
+
+
+def test_palette_png_roundtrip(tmp_path):
+    mask = np.random.default_rng(1).integers(0, 21, (33, 44)).astype(np.uint8)
+    p1 = str(tmp_path / "raw.png")
+    p2 = str(tmp_path / "pal.png")
+    write_png(mask, p1)
+    write_palette_png(mask, p2)
+    np.testing.assert_array_equal(read_mask_png(p1), mask)
+    np.testing.assert_array_equal(read_mask_png(p2), mask)
+
+
+def test_cue_db_roundtrip(tmp_path):
+    path = str(tmp_path / "cues.pickle")
+    save_cue_db(
+        path,
+        {
+            7: (np.array([3, 5]), (np.array([0, 3, 5]), np.array([1, 2, 3]), np.array([4, 5, 6]))),
+        },
+    )
+    db = CueDB(path, num_classes=8, cue_size=10)
+    assert 7 in db
+    labels = db.labels(7)
+    np.testing.assert_array_equal(np.where(labels)[0], [0, 3, 5])
+    cues = db.cues(7)
+    assert cues.shape == (10, 10, 8)
+    # entries are (class, row, col) triples: (0,1,4), (3,2,5), (5,3,6)
+    assert cues[1, 4, 0] == 1.0 and cues[2, 5, 3] == 1.0 and cues[3, 6, 5] == 1.0
+    assert cues.sum() == 3
+
+
+@pytest.fixture
+def voc_fixture(tmp_path):
+    """Tiny synthetic VOC tree: JPEGImages, cue pickle, pseudo-GT masks."""
+    root = tmp_path / "voc"
+    (root / "JPEGImages").mkdir(parents=True)
+    (root / "gt").mkdir()
+    rng = np.random.default_rng(0)
+    ids = []
+    entries = {}
+    for i in range(4):
+        img_id = f"2007_{i:06d}"
+        ids.append(img_id)
+        arr = rng.integers(0, 255, (50 + i * 7, 60, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(root / "JPEGImages" / f"{img_id}.jpg")
+        mask = rng.integers(0, 6, (50 + i * 7, 60)).astype(np.uint8)
+        Image.fromarray(mask).save(root / "gt" / f"{img_id}.png")
+        n_cues = 5
+        entries[i] = (
+            np.array([2, 4]),
+            (
+                rng.integers(1, 6, n_cues),
+                rng.integers(0, 5, n_cues),
+                rng.integers(0, 5, n_cues),
+            ),
+        )
+    save_cue_db(str(root / "cues.pickle"), entries)
+    with open(root / "input_list.txt", "w") as f:
+        for i, img_id in enumerate(ids):
+            f.write(f"{img_id}.jpg {i}\n")
+    with open(root / "pairs.txt", "w") as f:
+        for img_id in ids:
+            f.write(f"/JPEGImages/{img_id}.jpg /gt/{img_id}.png\n")
+    with open(root / "val_id.txt", "w") as f:
+        for img_id in ids:
+            f.write(img_id + "\n")
+    return root, ids
+
+
+def test_stage1_dataset_batches(voc_fixture):
+    root, ids = voc_fixture
+    db = CueDB(str(root / "cues.pickle"), num_classes=6, cue_size=5)
+    ds = Stage1Dataset(
+        str(root / "JPEGImages"), str(root / "input_list.txt"), db,
+        crop_size=33, batch_size=3,
+    )
+    batch = ds.next_batch()
+    assert batch["images"].shape == (3, 33, 33, 3)
+    assert batch["labels"].shape == (3, 6)
+    assert batch["cues"].shape == (3, 5, 5, 6)
+    assert np.all(batch["labels"][:, 0] == 1.0)  # bg bit
+    assert np.isfinite(batch["images"]).all()
+
+
+def test_stage2_dataset_batches(voc_fixture):
+    root, ids = voc_fixture
+    ds = Stage2Dataset(str(root), str(root / "pairs.txt"), crop_size=64, batch_size=2)
+    batch = ds.next_batch()
+    assert batch["images"].shape == (2, 64, 64, 3)
+    assert batch["labels"].shape == (2, 64, 64)
+    # padding area (images are 50-71 x 60) carries the ignore label
+    assert (batch["labels"] == 255).any()
+
+
+def test_preprocess_matches_reference_recipe(voc_fixture):
+    root, ids = voc_fixture
+    from scipy.ndimage import zoom as ndzoom
+
+    img = np.asarray(Image.open(root / "JPEGImages" / f"{ids[0]}.jpg").convert("RGB"), np.float32)
+    bgr = img[:, :, ::-1]
+    ours = preprocess_image(bgr, 21)
+    ref = ndzoom(bgr, (21 / img.shape[0], 21 / img.shape[1], 1.0), order=1)
+    ref = ref - np.array([104.0, 117.0, 123.0], np.float32)
+    np.testing.assert_allclose(ours, ref, atol=1e-4)

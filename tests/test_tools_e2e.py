@@ -1,0 +1,102 @@
+"""End-to-end CLI pipeline test on a tiny synthetic VOC tree:
+stage-s training -> inference -> evaluation, exercising checkpoints too."""
+
+import os
+import os.path as osp
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from dsrg_tpu.data.cues import save_cue_db
+
+
+@pytest.fixture
+def tiny_voc(tmp_path):
+    root = tmp_path / "voc"
+    (root / "JPEGImages").mkdir(parents=True)
+    (root / "SegmentationClass").mkdir()
+    rng = np.random.default_rng(0)
+    ids, entries = [], {}
+    for i in range(4):
+        img_id = f"2007_{i:06d}"
+        ids.append(img_id)
+        arr = rng.integers(0, 255, (45, 55, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(root / "JPEGImages" / f"{img_id}.jpg")
+        mask = rng.integers(0, 21, (45, 55)).astype(np.uint8)
+        Image.fromarray(mask).save(root / "SegmentationClass" / f"{img_id}.png")
+        entries[i] = (
+            np.array([2]),
+            (rng.integers(0, 3, 4) * 2, rng.integers(0, 6, 4), rng.integers(0, 6, 4)),
+        )
+    save_cue_db(str(root / "cues.pickle"), entries)
+    with open(root / "input_list.txt", "w") as f:
+        for i, img_id in enumerate(ids):
+            f.write(f"{img_id}.jpg {i}\n")
+    with open(root / "val_id.txt", "w") as f:
+        f.write("\n".join(ids) + "\n")
+    return root, ids
+
+
+def test_train_infer_evaluate_pipeline(tiny_voc, tmp_path):
+    root, ids = tiny_voc
+    from dsrg_tpu.tools import train as train_tool
+
+    snap_dir = str(tmp_path / "models")
+    train_tool.main([
+        "--stage", "s",
+        "--image-dir", str(root / "JPEGImages"),
+        "--input-list", str(root / "input_list.txt"),
+        "--cues", str(root / "cues.pickle"),
+        "--snapshot-dir", snap_dir,
+        "--max-iter", "2", "--batch-size", "2", "--crop-size", "41",
+        "--snapshot-every", "2", "--display", "1", "--no-mesh",
+    ])
+    params_path = osp.join(snap_dir, "step_2_params")
+    assert osp.exists(params_path)
+
+    # resume from snapshot: runs iterations 2..3
+    train_tool.main([
+        "--stage", "s",
+        "--image-dir", str(root / "JPEGImages"),
+        "--input-list", str(root / "input_list.txt"),
+        "--cues", str(root / "cues.pickle"),
+        "--snapshot", osp.join(snap_dir, "step_2"),
+        "--snapshot-dir", snap_dir,
+        "--max-iter", "3", "--batch-size", "2", "--crop-size", "41",
+        "--snapshot-every", "3", "--display", "1", "--no-mesh",
+    ])
+    assert osp.exists(osp.join(snap_dir, "step_3_params"))
+
+    # inference CLI (single small scale to keep CPU time down)
+    from dsrg_tpu.tools._infer_common import build_arg_parser, run_inference
+
+    out_dir = str(tmp_path / "preds")
+    args = build_arg_parser("").parse_args([
+        "--images", str(root / "val_id.txt"),
+        "--dir", str(root),
+        "--model", params_path,
+        "--output", out_dir,
+    ])
+    run_inference(args, sizes=[41])
+    for img_id in ids:
+        assert osp.exists(osp.join(out_dir, img_id + ".png"))
+    mask = np.asarray(Image.open(osp.join(out_dir, ids[0] + ".png")))
+    assert mask.shape == (45, 55)
+    assert mask.max() < 21
+
+    # evaluation CLI
+    from dsrg_tpu.tools import evaluate as evaluate_tool
+
+    save_path = str(tmp_path / "result.txt")
+    evaluate_tool.main([
+        "--pred", out_dir,
+        "--gt", str(root / "SegmentationClass"),
+        "--test_ids", str(root / "val_id.txt"),
+        "--save_path", save_path,
+        "--class_num", "21",
+    ])
+    content = open(save_path).read()
+    assert content.startswith("meanIOU: ")
+    miou = float(content.splitlines()[0].split()[1])
+    assert 0.0 <= miou <= 1.0
