@@ -1,0 +1,148 @@
+"""Benchmark: stage-1 DSRG train-step throughput (images/sec/chip).
+
+Measures the full on-device training step — VGG16-LargeFOV forward, floored
+softmax, dense-CRF mean-field refinement (10 iters @ 41x41x21), seeded region
+growing, balanced-seed + constrain losses, backward, Caffe-SGD update — at
+the reference recipe's batch 20 @ 321x321 (train-s.prototxt:17-19).
+
+Baseline: the reference publishes no numbers (BASELINE.md), so the comparison
+point is self-measured: the per-step *host-side* cost of the reference's
+python layers alone — 2 x batch serial dense-CRF runs + batch region
+growings in a cpu_count-wide pool (SURVEY.md §3.1; pylayers.py:325-342) —
+timed here with faithful numpy/scipy implementations.  This EXCLUDES the
+reference's Caffe GPU conv time entirely, so vs_baseline is a conservative
+lower bound on the true speedup.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing
+import sys
+import time
+
+import numpy as np
+
+
+def _enable_compile_cache():
+    import os
+
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def bench_tpu_step(batch_size: int = 20, crop: int = 321, iters: int = 10, warmup: int = 3):
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    _enable_compile_cache()
+    from dsrg_tpu.config import Stage1Config
+    from dsrg_tpu.models import DeepLabLargeFOV
+    from dsrg_tpu.train.stage1 import init_stage1, make_stage1_step
+
+    cfg = Stage1Config(batch_size=batch_size, crop_size=crop, compute_dtype="bfloat16")
+    model = DeepLabLargeFOV(num_classes=cfg.num_classes, compute_dtype=jnp.bfloat16)
+    state, tx = init_stage1(model, cfg)
+    step = jax.jit(make_stage1_step(model, cfg, tx), donate_argnums=(0,))
+
+    rng = np.random.default_rng(0)
+    labels = np.zeros((batch_size, cfg.num_classes), np.float32)
+    labels[:, 0] = 1.0
+    for i in range(batch_size):
+        labels[i, rng.integers(1, cfg.num_classes, size=2)] = 1.0
+    cues = (rng.uniform(size=(batch_size, cfg.cue_size, cfg.cue_size, cfg.num_classes)) < 0.02)
+    cues = cues.astype(np.float32) * labels[:, None, None, :]
+    batch = {
+        "images": jnp.asarray(rng.normal(size=(batch_size, crop, crop, 3)).astype(np.float32) * 40),
+        "labels": jnp.asarray(labels),
+        "cues": jnp.asarray(cues),
+    }
+
+    # NB: float() materialization is the sync point — block_until_ready alone
+    # does not reliably block through the remote-TPU tunnel.
+    for _ in range(warmup):
+        state, metrics = step(state, batch)
+        float(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch)
+        float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    return batch_size / dt, dt
+
+
+def _grow_one(args):
+    sys.path.insert(0, ".")
+    from tests.oracles.grow_oracle import grow_oracle
+
+    labels, cues, probs = args
+    return grow_oracle(labels, cues, probs)
+
+
+def bench_reference_host_step(batch_size: int = 20, n_probe: int = 2):
+    """Per-step host cost of the reference python layers (numpy/scipy stand-ins)."""
+    sys.path.insert(0, ".")
+    from tests.oracles.crf_oracle import crf_np
+    from tests.oracles.grow_oracle import grow_oracle
+
+    rng = np.random.default_rng(0)
+    h = w = 41
+    m = 21
+    image = rng.uniform(0, 255, size=(h, w, 3)).astype(np.float32)
+    logits = rng.normal(size=(h, w, m)).astype(np.float32)
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    probs = e / e.sum(-1, keepdims=True)
+
+    t0 = time.perf_counter()
+    for _ in range(n_probe):
+        crf_np(image, probs, maxiter=10, scale_factor=12.0)
+    crf_t = (time.perf_counter() - t0) / n_probe
+
+    labels = np.zeros(m, np.float32)
+    labels[[0, 3, 7]] = 1.0
+    cues = (rng.uniform(size=(m, h, w)) < 0.02).astype(np.float32) * labels[:, None, None]
+    pr = probs.transpose(2, 0, 1)
+    t0 = time.perf_counter()
+    for _ in range(n_probe):
+        grow_oracle(labels, cues, pr)
+    grow_t = (time.perf_counter() - t0) / n_probe
+
+    ncpu = multiprocessing.cpu_count()
+    # reference: 2 x batch serial CRF runs + batch growings in a Pool
+    step_time = 2 * batch_size * crf_t + batch_size * grow_t / max(ncpu, 1)
+    return batch_size / step_time, step_time
+
+
+def main():
+    batch = 20
+    tpu_ips, tpu_dt = bench_tpu_step(batch_size=batch)
+    ref_ips, ref_dt = bench_reference_host_step(batch_size=batch)
+    print(
+        json.dumps(
+            {
+                "metric": "images/sec/chip (stage-1 DSRG train step, batch 20 @ 321x321)",
+                "value": round(tpu_ips, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(tpu_ips / ref_ips, 2),
+                "detail": {
+                    "tpu_step_ms": round(tpu_dt * 1000, 1),
+                    "reference_host_only_step_ms": round(ref_dt * 1000, 1),
+                    "baseline_note": "reference baseline excludes Caffe GPU conv time (host python layers only) - conservative",
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

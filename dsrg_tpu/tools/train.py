@@ -100,8 +100,14 @@ def main(argv=None) -> None:
         make_step = lambda axis: make_stage2_step(model, cfg, tx, axis_name=axis)
 
     if args.weights:
-        source = ckpt.load_params(args.weights)
-        state = state.replace(params=ckpt.copy_from(state.params, source))
+        if args.weights.endswith(".caffemodel"):
+            from dsrg_tpu.models.import_caffe import caffe_blobs_to_flax, load_caffemodel
+
+            blobs = load_caffemodel(args.weights)
+            state = state.replace(params=caffe_blobs_to_flax(blobs, state.params))
+        else:
+            source = ckpt.load_params(args.weights)
+            state = state.replace(params=ckpt.copy_from(state.params, source))
     if args.snapshot:
         state = ckpt.restore_checkpoint(args.snapshot, state)
 
