@@ -39,8 +39,10 @@ def parse_args(argv=None):
     p.add_argument("--image-dir", help="stage s: JPEGImages dir")
     p.add_argument("--input-list", help="stage s: input_list.txt (file id pairs)")
     p.add_argument("--cues", help="stage s: localization cue pickle")
-    p.add_argument("--root", help="stage f: dataset root")
-    p.add_argument("--pair-list", help="stage f: train.txt (image gt pairs)")
+    p.add_argument("--root", help="stage f / coco: dataset root")
+    p.add_argument("--pair-list", help="stage f / coco: (image, label) pair list")
+    p.add_argument("--dataset", choices=["voc", "coco"], default="voc",
+                   help="stage s data source: VOC cue pickle or COCO dense cues")
     # solver overrides
     p.add_argument("--max-iter", type=int, default=None)
     p.add_argument("--base-lr", type=float, default=None)
@@ -80,14 +82,25 @@ def main(argv=None) -> None:
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
     if args.stage == "s":
+        if args.dataset == "coco":
+            args.num_classes = args.num_classes if args.num_classes != 21 else 81
         cfg = _override(Stage1Config(), args)
         model = DeepLabLargeFOV(num_classes=cfg.num_classes, compute_dtype=dtype)
         state, tx = init_stage1(model, cfg)
-        cue_db = CueDB(args.cues, num_classes=cfg.num_classes, cue_size=cfg.cue_size)
-        dataset = Stage1Dataset(
-            args.image_dir, args.input_list, cue_db,
-            crop_size=cfg.crop_size, batch_size=cfg.batch_size, seed=cfg.seed,
-        )
+        if args.dataset == "coco":
+            from dsrg_tpu.data.coco import COCOCueDataset
+
+            dataset = COCOCueDataset(
+                args.root, args.pair_list, batch_size=cfg.batch_size,
+                new_size=(cfg.crop_size, cfg.crop_size),
+                num_classes=cfg.num_classes, seed=cfg.seed,
+            )
+        else:
+            cue_db = CueDB(args.cues, num_classes=cfg.num_classes, cue_size=cfg.cue_size)
+            dataset = Stage1Dataset(
+                args.image_dir, args.input_list, cue_db,
+                crop_size=cfg.crop_size, batch_size=cfg.batch_size, seed=cfg.seed,
+            )
         make_step = lambda axis: make_stage1_step(model, cfg, tx, axis_name=axis)
     else:
         cfg = _override(Stage2Config(), args)
