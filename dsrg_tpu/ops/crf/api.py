@@ -190,6 +190,64 @@ class DenseCRF:
         q = self.inference(n_iters).reshape(self.N, self.M)
         return np.argmax(q, axis=1).astype(np.int32)
 
+    # -- densecrf.h debug/step surface (densecrf.cpp:141-235) ---------------
+    def _apply_pairwise(self, k: int, q: jnp.ndarray) -> jnp.ndarray:
+        """compat_k(filter_k(q)) for (N, M) q — one pairwise term's message."""
+        kernel = exact.gaussian_kernel_matrix(self._feats[k].astype(jnp.float32))
+        nrm = exact.symmetric_norm(kernel)
+        filt = nrm[:, None] * jnp.dot(
+            kernel, nrm[:, None] * q, precision=jax.lax.Precision.HIGHEST
+        )
+        return self._compats[k](filt)
+
+    def unary_energy(self, labels) -> np.ndarray:
+        """Per-pixel unary cost of a labeling (densecrf.cpp:141-153)."""
+        l = np.asarray(labels, np.int64).reshape(self.N)
+        valid = (l >= 0) & (l < self.M)
+        u = np.asarray(self._unary_cost)
+        out = np.zeros(self.N, np.float32)
+        out[valid] = u[np.arange(self.N)[valid], l[valid]]
+        return out
+
+    def pairwise_energy(self, labels, term: int = -1) -> np.ndarray:
+        """Per-pixel pairwise energy of a labeling (densecrf.cpp:154-177)."""
+        if term == -1:
+            total = np.zeros(self.N, np.float32)
+            for k in range(len(self._feats)):
+                total += self.pairwise_energy(labels, k)
+            return total
+        l = np.asarray(labels, np.int64).reshape(self.N)
+        q = np.zeros((self.N, self.M), np.float32)
+        valid = (l >= 0) & (l < self.M)
+        q[np.arange(self.N)[valid], l[valid]] = 1.0
+        msg = np.asarray(self._apply_pairwise(term, jnp.asarray(q)))
+        out = np.zeros(self.N, np.float32)
+        out[valid] = -0.5 * msg[np.arange(self.N)[valid], l[valid]]
+        return out
+
+    def start_inference(self) -> np.ndarray:
+        """Initial marginals from the unaries (densecrf.cpp:178-186)."""
+        q = exact._softmax_cols(-jnp.asarray(self._unary_cost))
+        return np.asarray(q, np.float32)
+
+    def step_inference(self, q: np.ndarray) -> np.ndarray:
+        """One mean-field update of (N, M) marginals (densecrf.cpp:187-201)."""
+        qj = jnp.asarray(q, jnp.float32).reshape(self.N, self.M)
+        tmp = -jnp.asarray(self._unary_cost)
+        for k in range(len(self._feats)):
+            tmp = tmp - self._apply_pairwise(k, qj)
+        return np.asarray(exact._softmax_cols(tmp), np.float32)
+
+    def kl_divergence(self, q: np.ndarray) -> float:
+        """KL diagnostic of marginals (densecrf.cpp:214-235)."""
+        qn = np.asarray(q, np.float64).reshape(self.N, self.M)
+        kl = float(np.sum(qn * np.log(np.maximum(qn, 1e-20))))
+        kl += float(np.sum(np.asarray(self._unary_cost, np.float64) * qn))
+        for k in range(len(self._feats)):
+            msg = np.asarray(self._apply_pairwise(k, jnp.asarray(qn, jnp.float32)), np.float64)
+            kl += float(np.sum(qn * msg))
+        return kl
+
     # -- densecrf.h extended surface ---------------------------------------
     def add_pairwise_gaussian(self, sx, sy, compat) -> None:
         self._feats.append(spatial_features(self.H, self.W, float(sx), float(sy)))
