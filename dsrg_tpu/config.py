@@ -25,6 +25,7 @@ class Stage1Config:
     th2: float = 0.85
     crf_scale_factor: float = 12.0   # pylayers.py:82,335
     crf_iters: int = 10
+    crf_fast: bool = True            # bf16 kernel matmuls (see mean_field_exact)
     mirror: bool = True              # AnnotationLayer param_str
 
     base_lr: float = 5e-4            # solver-s.prototxt:4-8

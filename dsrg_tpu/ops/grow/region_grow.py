@@ -57,8 +57,15 @@ def _dilate8(mask_f: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _flood_fill(seeded: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """Pixels 8-connected-reachable from ``seeded`` within ``mask`` ({0,1} floats)."""
+def _flood_fill(seeded: jnp.ndarray, mask: jnp.ndarray, unroll: int = 4) -> jnp.ndarray:
+    """Pixels 8-connected-reachable from ``seeded`` within ``mask`` ({0,1} floats).
+
+    ``unroll`` dilation steps run between convergence checks: growth is
+    monotone and idempotent at the fixed point, so extra steps past
+    convergence change nothing while cutting the number of tiny
+    latency-bound loop iterations (and, under vmap, cross-lane OR reductions)
+    by the unroll factor.
+    """
     max_iters = seeded.shape[-2] * seeded.shape[-1]
 
     def cond(state):
@@ -67,10 +74,11 @@ def _flood_fill(seeded: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 
     def body(state):
         it, frontier, _ = state
-        grown = jnp.minimum(_dilate8(frontier), mask)
-        grown = jnp.maximum(grown, frontier)
+        grown = frontier
+        for _ in range(unroll):
+            grown = jnp.maximum(jnp.minimum(_dilate8(grown), mask), grown)
         changed = jnp.any(grown != frontier)
-        return it + 1, grown, changed
+        return it + unroll, grown, changed
 
     _, reach, _ = jax.lax.while_loop(cond, body, (0, seeded, jnp.any(seeded > 0)))
     return reach

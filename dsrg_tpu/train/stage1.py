@@ -78,7 +78,9 @@ def make_stage1_step(
             )
             probs = floored_softmax(scores)
             probs = jnp.maximum(probs, MIN_PROB)  # CRFLayer blob mutation
-            q_log, q = crf_refine_with_log(probs, images, cfg.crf_scale_factor, cfg.crf_iters)
+            q_log, q = crf_refine_with_log(
+                probs, images, cfg.crf_scale_factor, cfg.crf_iters, cfg.crf_fast
+            )
             cues_new = dsrg_grow(labels, cues, q, th1=cfg.th1, th2=cfg.th2)
             l_seed = balanced_seed_loss(probs, cues_new)
             l_con = constrain_loss(probs, q_log)
