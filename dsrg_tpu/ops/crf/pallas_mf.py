@@ -115,7 +115,11 @@ def _mf_kernel(
 def _norms_xla(feats: jnp.ndarray) -> jnp.ndarray:
     """Symmetric norms 1/sqrt(K @ 1 + 1e-20), computed once in XLA (fp32)."""
     sq = jnp.sum(feats * feats, axis=-1)
-    cross = jnp.dot(feats, feats.T, preferred_element_type=jnp.float32)
+    cross = jnp.dot(
+        feats, feats.T,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     d2 = sq[:, None] + sq[None, :] - 2.0 * cross
     k = jnp.exp(-0.5 * jnp.maximum(d2, 0.0))
     return jax.lax.rsqrt(jnp.sum(k, axis=-1) + 1e-20)

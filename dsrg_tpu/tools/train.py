@@ -53,6 +53,11 @@ def parse_args(argv=None):
     p.add_argument("--display", type=int, default=10)
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--no-mesh", action="store_true", help="force single-device")
+    p.add_argument("--auto-resume", action="store_true",
+                   help="resume from the latest snapshot in --snapshot-dir if present")
+    p.add_argument("--metrics-log", default=None, help="JSONL metrics file")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace of steps 10-14 here")
     return p.parse_args(argv)
 
 
@@ -123,6 +128,11 @@ def main(argv=None) -> None:
             state = state.replace(params=ckpt.copy_from(state.params, source))
     if args.snapshot:
         state = ckpt.restore_checkpoint(args.snapshot, state)
+    elif args.auto_resume:
+        latest = ckpt.latest_checkpoint(args.snapshot_dir)
+        if latest:
+            print("auto-resume from", latest)
+            state = ckpt.restore_checkpoint(latest, state)
 
     n_dev = len(jax.devices())
     use_mesh = (not args.no_mesh) and n_dev > 1 and cfg.batch_size % n_dev == 0
@@ -136,26 +146,35 @@ def main(argv=None) -> None:
         loader = PrefetchLoader(dataset)
         print("single-device training")
 
+    from dsrg_tpu.utils.profiling import MetricLogger, StepTimer, trace
+
+    logger = MetricLogger(args.metrics_log, average_window=args.display)
+    timer = StepTimer(cfg.batch_size)
     start_iter = int(state.step)
-    avg, t0 = [], time.time()
+    profiler_ctx = None
     for it in range(start_iter, cfg.max_iter):
+        if args.profile_dir and it == start_iter + 10:
+            profiler_ctx = trace(args.profile_dir)
+            profiler_ctx.__enter__()
         batch = next(loader)
         state, metrics = step(state, batch)
-        avg.append(float(metrics["loss"]))
+        averaged = logger.log(it + 1, {k: float(v) for k, v in metrics.items()})
+        timer.tick()
+        if args.profile_dir and it == start_iter + 14 and profiler_ctx is not None:
+            profiler_ctx.__exit__(None, None, None)
+            profiler_ctx = None
+            print("profile trace ->", args.profile_dir, flush=True)
         if (it + 1) % args.display == 0:
-            dt = (time.time() - t0) / args.display
-            ips = cfg.batch_size / dt
-            print(
-                f"iter {it + 1}: loss = {np.mean(avg[-args.display:]):.4f} "
-                f"({dt * 1000:.0f} ms/iter, {ips:.1f} img/s)",
-                flush=True,
-            )
-            t0 = time.time()
+            extra = ""
+            if timer.step_time:
+                extra = f" ({timer.step_time * 1000:.0f} ms/iter, {timer.images_per_sec:.1f} img/s)"
+            print(f"iter {it + 1}: loss = {averaged['loss']:.4f}{extra}", flush=True)
         if (it + 1) % cfg.snapshot_every == 0 or (it + 1) == cfg.max_iter:
             path = ckpt.save_checkpoint(args.snapshot_dir, state, it + 1)
             ckpt.save_params(path + "_params", state.params)
             print("snapshot ->", path, flush=True)
     loader.close()
+    logger.close()
 
 
 if __name__ == "__main__":

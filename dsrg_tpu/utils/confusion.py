@@ -27,7 +27,9 @@ def confusion_matrix_np(gt: np.ndarray, pred: np.ndarray, nclass: int) -> np.nda
     """Vectorized (nclass, nclass) confusion matrix; gt >= nclass is ignored."""
     gt = np.asarray(gt).ravel().astype(np.int64)
     pred = np.asarray(pred).ravel().astype(np.int64)
-    valid = gt < nclass
+    # out-of-range predictions (e.g. the 255 "unseeded" marker in cue masks)
+    # are ignored along with out-of-range ground truth
+    valid = (gt < nclass) & (pred < nclass)
     idx = gt[valid] * nclass + pred[valid]
     return np.bincount(idx, minlength=nclass * nclass).reshape(nclass, nclass).astype(np.float64)
 

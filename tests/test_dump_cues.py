@@ -1,0 +1,51 @@
+import os.path as osp
+
+import numpy as np
+from PIL import Image
+
+from dsrg_tpu.data.cues import save_cue_db
+from dsrg_tpu.tools import ap as ap_tool
+from dsrg_tpu.tools import dump_cues
+
+
+def test_dump_cues_and_ap(tmp_path):
+    root = tmp_path
+    (root / "JPEGImages").mkdir()
+    (root / "gt").mkdir()
+    rng = np.random.default_rng(0)
+    entries, rows = {}, []
+    for i in range(3):
+        img_id = f"2007_{i:06d}"
+        Image.fromarray(rng.integers(0, 255, (50, 50, 3)).astype(np.uint8)).save(
+            root / "JPEGImages" / f"{img_id}.jpg"
+        )
+        gt = rng.integers(0, 6, (41, 41)).astype(np.uint8)
+        Image.fromarray(gt).save(root / "gt" / f"{img_id}.png")
+        entries[i] = (
+            np.array([2, 4]),
+            (rng.integers(0, 6, 5), rng.integers(0, 41, 5), rng.integers(0, 41, 5)),
+        )
+        rows.append(f"{img_id}.jpg {i}")
+    save_cue_db(str(root / "cues.pickle"), entries)
+    (root / "input_list.txt").write_text("\n".join(rows) + "\n")
+    (root / "ids.txt").write_text("\n".join(r.split()[0][:-4] for r in rows) + "\n")
+
+    out = str(root / "cue_pngs")
+    dump_cues.main([
+        "--images", str(root / "input_list.txt"), "--dir", str(root),
+        "--cues", str(root / "cues.pickle"), "--output", out, "--num-classes", "6",
+    ])
+    for i in range(3):
+        f = osp.join(out, f"2007_{i:06d}_cue.png")
+        assert osp.exists(f)
+        m = np.asarray(Image.open(f))
+        assert m.shape == (41, 41)
+        assert set(np.unique(m)).issubset(set(range(6)) | {255})
+
+    save_path = str(root / "ap.txt")
+    ap_tool.main([
+        "--pred", out, "--gt", str(root / "gt"), "--test_ids", str(root / "ids.txt"),
+        "--save_path", save_path, "--class_num", "6",
+    ])
+    content = open(save_path).read()
+    assert "meanIOU:" in content and "mean accuracy:" in content
