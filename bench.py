@@ -123,7 +123,112 @@ def bench_reference_host_step(batch_size: int = 20, n_probe: int = 2):
     return batch_size / step_time, step_time
 
 
+def bench_crf_single(size: int = 321, m: int = 21, iters: int = 20):
+    """Config 1: single-image dense-CRF refinement at full resolution."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    _enable_compile_cache()
+    from dsrg_tpu.ops.crf import CRF
+
+    rng = np.random.default_rng(0)
+    image = rng.integers(0, 256, size=(size, size, 3)).astype(np.float32)
+    probs = rng.dirichlet(np.ones(m), size=size * size).astype(np.float32)
+    logp = np.log(probs.reshape(size, size, m))
+    out = np.asarray(CRF(image, logp, scale_factor=1.0))  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = np.asarray(CRF(image, logp, scale_factor=1.0))
+    dt = (time.perf_counter() - t0) / iters
+    return 1.0 / dt, dt
+
+
+def bench_grow_only(batch_size: int = 20, iters: int = 20):
+    """Config 2: batched DSRG seed expansion (region growing only)."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    _enable_compile_cache()
+    from dsrg_tpu.ops.grow import dsrg_grow
+
+    rng = np.random.default_rng(0)
+    b, h, m = batch_size, 41, 21
+    labels = np.zeros((b, m), np.float32)
+    labels[:, 0] = 1
+    for i in range(b):
+        labels[i, rng.integers(1, m, 2)] = 1
+    cues = (rng.uniform(size=(b, h, h, m)) < 0.02).astype(np.float32) * labels[:, None, None, :]
+    probs = rng.dirichlet(np.ones(m), size=(b, h, h)).astype(np.float32)
+    grow = jax.jit(lambda l, c, p: dsrg_grow(l, c, p))
+    args = (jnp.asarray(labels), jnp.asarray(cues), jnp.asarray(probs))
+    np.asarray(grow(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = np.asarray(grow(*args))
+    dt = (time.perf_counter() - t0) / iters
+    return b / dt, dt
+
+
+def bench_inference(batch_size: int = 8, iters: int = 10, model_name: str = "vgg"):
+    """Config 3/5: backbone inference at 321^2 (img/s, forward only on device)."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    _enable_compile_cache()
+    from dsrg_tpu.models import DeepLabLargeFOV, ResNet101DeepLab
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(batch_size, 321, 321, 3)).astype(np.float32) * 40)
+    if model_name == "vgg":
+        model = DeepLabLargeFOV(num_classes=21, compute_dtype=jnp.bfloat16)
+        variables = model.init({"params": jax.random.PRNGKey(0)}, x[:1], train=False)
+        fwd = jax.jit(lambda v, xx: model.apply(v, xx, train=False))
+    else:
+        model = ResNet101DeepLab(num_classes=21, compute_dtype=jnp.bfloat16)
+        variables = model.init({"params": jax.random.PRNGKey(0)}, x[:1], train=False)
+        fwd = jax.jit(lambda v, xx: model.apply(v, xx, train=False))
+    np.asarray(fwd(variables, x))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = np.asarray(fwd(variables, x))
+    dt = (time.perf_counter() - t0) / iters
+    return batch_size / dt, dt
+
+
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, default=4, choices=[1, 2, 3, 4, 5],
+                    help="BASELINE.json config index (default: full train step)")
+    args = ap.parse_args()
+
+    if args.config == 1:
+        ips, dt = bench_crf_single()
+        print(json.dumps({"metric": "images/sec (dense-CRF refinement, 321x321x21)",
+                          "value": round(ips, 2), "unit": "images/sec",
+                          "vs_baseline": None,
+                          "detail": {"ms_per_image": round(dt * 1000, 1)}}))
+        return
+    if args.config == 2:
+        ips, dt = bench_grow_only()
+        print(json.dumps({"metric": "images/sec (DSRG seed expansion, batch 20 @ 41x41x21)",
+                          "value": round(ips, 2), "unit": "images/sec",
+                          "vs_baseline": None,
+                          "detail": {"ms_per_batch": round(dt * 1000, 1)}}))
+        return
+    if args.config in (3, 5):
+        name = "vgg" if args.config == 3 else "resnet101"
+        ips, dt = bench_inference(model_name=name)
+        print(json.dumps({"metric": f"images/sec ({name} DeepLab inference @ 321x321)",
+                          "value": round(ips, 2), "unit": "images/sec",
+                          "vs_baseline": None,
+                          "detail": {"ms_per_batch8": round(dt * 1000, 1)}}))
+        return
+
     batch = 20
     tpu_ips, tpu_dt = bench_tpu_step(batch_size=batch)
     ref_ips, ref_dt = bench_reference_host_step(batch_size=batch)
