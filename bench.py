@@ -51,7 +51,7 @@ def bench_tpu_step(batch_size: int = 20, crop: int = 321, iters: int = 10, warmu
 
     cfg = Stage1Config(batch_size=batch_size, crop_size=crop, compute_dtype="bfloat16")
     model = DeepLabLargeFOV(num_classes=cfg.num_classes, compute_dtype=jnp.bfloat16)
-    state, tx = init_stage1(model, cfg)
+    state, tx, _ = init_stage1(model, cfg)
     step = jax.jit(make_stage1_step(model, cfg, tx), donate_argnums=(0,))
 
     rng = np.random.default_rng(0)

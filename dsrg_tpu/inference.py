@@ -33,11 +33,16 @@ EPS = 1e-5  # probability floor (test-ms.py:102-103)
 class Predictor:
     def __init__(self, model, params, num_classes: int = 21, bucket: int = 64):
         self.model = model
-        self.params = params
+        # accept either a bare params tree or a full variables dict
+        # ({"params": ..., "batch_stats": ...} for BN backbones)
+        if isinstance(params, dict) and "params" in params:
+            self.variables = params
+        else:
+            self.variables = {"params": params}
         self.num_classes = num_classes
         self.bucket = max(int(bucket), 1)
         self._fwd = jax.jit(
-            lambda p, x: self.model.apply({"params": p}, x, train=False)
+            lambda v, x: self.model.apply(v, x, train=False)
         )
 
     def _pad_size(self, s: int) -> int:
@@ -52,7 +57,7 @@ class Predictor:
         ph, pw = self._pad_size(h), self._pad_size(w)
         x = np.zeros((1, ph, pw, 3), np.float32)
         x[0, :h, :w] = image_bgr
-        scores = np.asarray(self._fwd(self.params, jnp.asarray(x)))[0]
+        scores = np.asarray(self._fwd(self.variables, jnp.asarray(x)))[0]
         oh, ow = (h - 1) // 8 + 1, (w - 1) // 8 + 1
         return scores[:oh, :ow]
 

@@ -30,11 +30,17 @@ def build_arg_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--smooth", dest="smooth", action="store_true", help="CRF post-processing")
     p.add_argument("--gpu", dest="gpu_id", default=0, type=int, help="unused (parity flag)")
     p.add_argument("--num-classes", default=21, type=int)
+    p.add_argument("--model-name", choices=["vgg16", "resnet101"], default="vgg16")
     return p
 
 
-def load_predictor(model_path: str, num_classes: int) -> Predictor:
-    model = DeepLabLargeFOV(num_classes=num_classes)
+def load_predictor(model_path: str, num_classes: int, model_name: str = "vgg16") -> Predictor:
+    if model_name == "resnet101":
+        from dsrg_tpu.models import ResNet101DeepLab
+
+        model = ResNet101DeepLab(num_classes=num_classes)
+    else:
+        model = DeepLabLargeFOV(num_classes=num_classes)
     params = load_params(model_path)
     return Predictor(model, params, num_classes=num_classes)
 
@@ -44,7 +50,7 @@ def run_inference(
     sizes: Optional[Sequence[int]] = None,
     scales: Optional[Sequence[float]] = None,
 ) -> None:
-    predictor = load_predictor(args.model, args.num_classes)
+    predictor = load_predictor(args.model, args.num_classes, getattr(args, "model_name", "vgg16"))
     image_ids = [ln.strip() for ln in open(args.image_list) if ln.strip()]
     data_dir = osp.join(args.data_dir, "JPEGImages")
     if args.output_dir and not osp.isdir(args.output_dir):

@@ -43,6 +43,8 @@ def parse_args(argv=None):
     p.add_argument("--pair-list", help="stage f / coco: (image, label) pair list")
     p.add_argument("--dataset", choices=["voc", "coco"], default="voc",
                    help="stage s data source: VOC cue pickle or COCO dense cues")
+    p.add_argument("--model", dest="model_name", choices=["vgg16", "resnet101"],
+                   default="vgg16", help="backbone family")
     # solver overrides
     p.add_argument("--max-iter", type=int, default=None)
     p.add_argument("--base-lr", type=float, default=None)
@@ -86,12 +88,19 @@ def main(argv=None) -> None:
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
+    def build_model(num_classes):
+        if args.model_name == "resnet101":
+            from dsrg_tpu.models import ResNet101DeepLab
+
+            return ResNet101DeepLab(num_classes=num_classes, compute_dtype=dtype)
+        return DeepLabLargeFOV(num_classes=num_classes, compute_dtype=dtype)
+
     if args.stage == "s":
         if args.dataset == "coco":
             args.num_classes = args.num_classes if args.num_classes != 21 else 81
         cfg = _override(Stage1Config(), args)
-        model = DeepLabLargeFOV(num_classes=cfg.num_classes, compute_dtype=dtype)
-        state, tx = init_stage1(model, cfg)
+        model = build_model(cfg.num_classes)
+        state, tx, extra_vars = init_stage1(model, cfg)
         if args.dataset == "coco":
             from dsrg_tpu.data.coco import COCOCueDataset
 
@@ -106,16 +115,20 @@ def main(argv=None) -> None:
                 args.image_dir, args.input_list, cue_db,
                 crop_size=cfg.crop_size, batch_size=cfg.batch_size, seed=cfg.seed,
             )
-        make_step = lambda axis: make_stage1_step(model, cfg, tx, axis_name=axis)
+        make_step = lambda axis: make_stage1_step(
+            model, cfg, tx, axis_name=axis, extra_vars=extra_vars
+        )
     else:
         cfg = _override(Stage2Config(), args)
-        model = DeepLabLargeFOV(num_classes=cfg.num_classes, compute_dtype=dtype)
-        state, tx = init_stage2(model, cfg)
+        model = build_model(cfg.num_classes)
+        state, tx, extra_vars = init_stage2(model, cfg)
         dataset = Stage2Dataset(
             args.root, args.pair_list,
             crop_size=cfg.crop_size, batch_size=cfg.batch_size, seed=cfg.seed,
         )
-        make_step = lambda axis: make_stage2_step(model, cfg, tx, axis_name=axis)
+        make_step = lambda axis: make_stage2_step(
+            model, cfg, tx, axis_name=axis, extra_vars=extra_vars
+        )
 
     if args.weights:
         if args.weights.endswith(".caffemodel"):
@@ -125,6 +138,8 @@ def main(argv=None) -> None:
             state = state.replace(params=caffe_blobs_to_flax(blobs, state.params))
         else:
             source = ckpt.load_params(args.weights)
+            if isinstance(source, dict) and "params" in source:
+                source = source["params"]  # full variables dict checkpoint
             state = state.replace(params=ckpt.copy_from(state.params, source))
     if args.snapshot:
         state = ckpt.restore_checkpoint(args.snapshot, state)
@@ -171,7 +186,10 @@ def main(argv=None) -> None:
             print(f"iter {it + 1}: loss = {averaged['loss']:.4f}{extra}", flush=True)
         if (it + 1) % cfg.snapshot_every == 0 or (it + 1) == cfg.max_iter:
             path = ckpt.save_checkpoint(args.snapshot_dir, state, it + 1)
-            ckpt.save_params(path + "_params", state.params)
+            if extra_vars:
+                ckpt.save_params(path + "_params", {"params": state.params, **extra_vars})
+            else:
+                ckpt.save_params(path + "_params", state.params)
             print("snapshot ->", path, flush=True)
     loader.close()
     logger.close()

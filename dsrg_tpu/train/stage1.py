@@ -43,7 +43,11 @@ def make_optimizer(cfg: Stage1Config) -> optax.GradientTransformation:
 
 
 def make_stage1_step(
-    model, cfg: Stage1Config, tx: optax.GradientTransformation, axis_name: str | None = None
+    model,
+    cfg: Stage1Config,
+    tx: optax.GradientTransformation,
+    axis_name: str | None = None,
+    extra_vars: dict | None = None,
 ):
     """Build the (state, batch) -> (state, metrics) step function.
 
@@ -73,8 +77,9 @@ def make_stage1_step(
             cues = jnp.where(flip[:, None, None, None], cues[:, :, ::-1, :], cues)
 
         def loss_fn(params):
+            variables = {"params": params, **(extra_vars or {})}
             scores = model.apply(
-                {"params": params}, images, train=True, rngs={"dropout": drop_rng}
+                variables, images, train=True, rngs={"dropout": drop_rng}
             )
             probs = floored_softmax(scores)
             probs = jnp.maximum(probs, MIN_PROB)  # CRFLayer blob mutation
@@ -116,11 +121,17 @@ def make_stage1_step(
 
 
 def init_stage1(model, cfg: Stage1Config, rng=None):
-    """Initialize params + state (solver random_seed 0 by default)."""
+    """Initialize params + state (solver random_seed 0 by default).
+
+    Returns ``(state, tx, extra_vars)`` where ``extra_vars`` holds
+    non-trainable collections (e.g. a ResNet's frozen batch_stats) to close
+    over in the step function; empty for the VGG model.
+    """
     rng = jax.random.PRNGKey(cfg.seed) if rng is None else rng
     init_rng, state_rng = jax.random.split(rng)
     dummy = jnp.zeros((1, cfg.crop_size, cfg.crop_size, 3), jnp.float32)
     variables = model.init({"params": init_rng}, dummy, train=False)
     tx = make_optimizer(cfg)
     state = TrainState.create(variables["params"], tx, state_rng)
-    return state, tx
+    extra_vars = {k: v for k, v in variables.items() if k != "params"}
+    return state, tx, extra_vars

@@ -30,7 +30,11 @@ def make_optimizer(cfg: Stage2Config) -> optax.GradientTransformation:
 
 
 def make_stage2_step(
-    model, cfg: Stage2Config, tx: optax.GradientTransformation, axis_name: str | None = None
+    model,
+    cfg: Stage2Config,
+    tx: optax.GradientTransformation,
+    axis_name: str | None = None,
+    extra_vars: dict | None = None,
 ):
     """batch: images (B, H, W, 3) float32; labels (B, H, W) int32 (255 = ignore)."""
 
@@ -50,8 +54,9 @@ def make_stage2_step(
         )[..., 0].astype(jnp.int32)
 
         def loss_fn(params):
+            variables = {"params": params, **(extra_vars or {})}
             scores = model.apply(
-                {"params": params}, images, train=True, rngs={"dropout": drop_rng}
+                variables, images, train=True, rngs={"dropout": drop_rng}
             )
             loss, acc = softmax_cross_entropy_ignore(scores, small, cfg.ignore_label)
             return loss, acc
@@ -79,4 +84,5 @@ def init_stage2(model, cfg: Stage2Config, rng=None):
     variables = model.init({"params": init_rng}, dummy, train=False)
     tx = make_optimizer(cfg)
     state = TrainState.create(variables["params"], tx, state_rng)
-    return state, tx
+    extra_vars = {k: v for k, v in variables.items() if k != "params"}
+    return state, tx, extra_vars

@@ -45,7 +45,7 @@ def test_dsrg_training_learns_synthetic_objects():
         crf_iters=3, base_lr=2e-3, stepsize=10_000, mirror=False,
     )
     model = DeepLabLargeFOV(num_classes=cfg.num_classes, head_dilations=(2, 4))
-    state, tx = init_stage1(model, cfg)
+    state, tx, _ = init_stage1(model, cfg)
     step = jax.jit(make_stage1_step(model, cfg, tx))
 
     rng = np.random.default_rng(0)

@@ -35,7 +35,7 @@ def test_stage1_step_runs_and_loss_decreases():
     model = DeepLabLargeFOV(num_classes=cfg.num_classes, head_dilations=(2, 4))
     from dsrg_tpu.train.stage1 import make_optimizer
 
-    state, tx = init_stage1(model, cfg)
+    state, tx, _ = init_stage1(model, cfg)
     step = jax.jit(make_stage1_step(model, cfg, tx))
     rng = np.random.default_rng(0)
     batch = _stage1_batch(rng, cfg.batch_size, cfg)
@@ -51,7 +51,7 @@ def test_stage1_step_runs_and_loss_decreases():
 def test_stage1_step_data_parallel_matches_semantics():
     cfg = TINY1
     model = DeepLabLargeFOV(num_classes=cfg.num_classes, head_dilations=(2, 4))
-    state, tx = init_stage1(model, cfg)
+    state, tx, _ = init_stage1(model, cfg)
     mesh = make_mesh()
     assert mesh.size == 8
     step = data_parallel_step(
@@ -69,7 +69,7 @@ def test_stage1_step_data_parallel_matches_semantics():
 def test_stage2_step_runs_and_loss_decreases():
     cfg = TINY2
     model = DeepLabLargeFOV(num_classes=cfg.num_classes, head_dilations=(2, 4))
-    state, tx = init_stage2(model, cfg)
+    state, tx, _ = init_stage2(model, cfg)
     step = jax.jit(make_stage2_step(model, cfg, tx))
     rng = np.random.default_rng(2)
     labels = rng.integers(0, cfg.num_classes, size=(2, cfg.crop_size, cfg.crop_size))
@@ -88,7 +88,7 @@ def test_stage2_step_runs_and_loss_decreases():
 def test_stage2_step_data_parallel():
     cfg = TINY2
     model = DeepLabLargeFOV(num_classes=cfg.num_classes, head_dilations=(2, 4))
-    state, tx = init_stage2(model, cfg)
+    state, tx, _ = init_stage2(model, cfg)
     mesh = make_mesh()
     step = data_parallel_step(
         make_stage2_step(model, cfg, tx, axis_name="data"), mesh, donate_state=False
