@@ -25,7 +25,7 @@ def test_resnet_stage1_step():
     labels = np.zeros((2, 5), np.float32)
     labels[:, 0] = labels[:, 2] = 1
     batch = {
-        "images": rng.normal(size=(2, 41, 41, 3)).astype(np.float32) * 30,
+        "images": rng.normal(size=(2, 41, 41, 3)).astype(np.float32),
         "labels": labels,
         "cues": (rng.uniform(size=(2, 6, 6, 5)) < 0.1).astype(np.float32)
         * labels[:, None, None, :],
@@ -45,7 +45,7 @@ def test_resnet_stage2_step():
     step = jax.jit(make_stage2_step(model, cfg, tx, extra_vars=extra))
     rng = np.random.default_rng(1)
     batch = {
-        "images": rng.normal(size=(2, 41, 41, 3)).astype(np.float32) * 30,
+        "images": rng.normal(size=(2, 41, 41, 3)).astype(np.float32),
         "labels": rng.integers(0, 5, size=(2, 41, 41)).astype(np.int32),
     }
     losses = []
