@@ -68,16 +68,20 @@ def bench_tpu_step(batch_size: int = 20, crop: int = 321, iters: int = 10, warmu
     }
 
     # NB: float() materialization is the sync point — block_until_ready alone
-    # does not reliably block through the remote-TPU tunnel.
+    # does not reliably block through the remote-TPU tunnel.  Steps chain
+    # through the donated train state, so syncing once after the loop still
+    # times every step while keeping the device pipeline full (per-step
+    # host syncs add tunnel round-trip bubbles to every iteration).
     for _ in range(warmup):
         state, metrics = step(state, batch)
-        float(metrics["loss"])
+    float(metrics["loss"])
 
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, batch)
-        float(metrics["loss"])
+    final = float(metrics["loss"])
     dt = (time.perf_counter() - t0) / iters
+    assert np.isfinite(final)
     return batch_size / dt, dt
 
 

@@ -162,10 +162,18 @@ class Stage2Dataset:
         self._pos += 1
         return int(idx)
 
+    def _resolve(self, p: str) -> str:
+        # reference concatenates root + path verbatim (layer.py:113-114);
+        # additionally accept genuinely absolute paths (pseudo-GT dirs often
+        # live outside the dataset root)
+        cand = self.root + p
+        if not osp.exists(cand) and osp.isabs(p) and osp.exists(p):
+            return p
+        return cand
+
     def _load_pair(self, img_path: str, lbl_path: str):
-        # the reference concatenates root + path verbatim (layer.py:113-114)
-        image = load_image_bgr(self.root + img_path) - self.mean
-        label = np.asarray(Image.open(self.root + lbl_path), dtype=np.float32)
+        image = load_image_bgr(self._resolve(img_path)) - self.mean
+        label = np.asarray(Image.open(self._resolve(lbl_path)), dtype=np.float32)
         if label.ndim == 3:
             label = label[..., 0]
         c = self.crop

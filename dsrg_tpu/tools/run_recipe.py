@@ -29,7 +29,20 @@ def main(argv=None) -> None:
     p.add_argument("--stage1-iters", type=int, default=8000)
     p.add_argument("--stage2-iters", type=int, default=20000)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--batch-size", type=int, default=None, help="override both stages")
+    p.add_argument("--crop-size", type=int, default=None)
+    p.add_argument("--test-sizes", type=int, nargs="+", default=[241, 321, 401],
+                   help="pseudo-GT dump scales (test-ms)")
+    p.add_argument("--test-scales", type=float, nargs="+", default=[0.75, 1.0, 1.25],
+                   help="final prediction scales (test-ms-f)")
+    p.add_argument("--no-smooth", action="store_true", help="skip CRF post-processing")
     args = p.parse_args(argv)
+
+    size_overrides = []
+    if args.batch_size is not None:
+        size_overrides += ["--batch-size", str(args.batch_size)]
+    if args.crop_size is not None:
+        size_overrides += ["--crop-size", str(args.crop_size)]
 
     w = args.work_dir
     ld = args.list_dir
@@ -40,7 +53,8 @@ def main(argv=None) -> None:
               "--input-list", osp.join(ld, "input_list.txt"), "--cues", args.cues,
               "--snapshot-dir", osp.join(w, "model-s"),
               "--max-iter", str(args.stage1_iters),
-              "--dtype", args.dtype]
+              "--snapshot-every", str(args.stage1_iters),
+              "--dtype", args.dtype] + size_overrides
     if args.weights:
         s_args += ["--weights", args.weights]
     train_tool.main(s_args)
@@ -49,30 +63,34 @@ def main(argv=None) -> None:
     # 2. pseudo-GT dump over train_aug
     dsrg_out = osp.join(w, "DSRGOutput")
     test_ms_args = ["--images", osp.join(ld, "train_aug_id.txt"), "--dir", args.pascal_dir,
-                    "--model", model_s, "--output", dsrg_out, "--smooth"]
+                    "--model", model_s, "--output", dsrg_out]
+    if not args.no_smooth:
+        test_ms_args.append("--smooth")
     ms = build_arg_parser("").parse_args(test_ms_args)
-    run_inference(ms, sizes=[241, 321, 401])
+    run_inference(ms, sizes=args.test_sizes)
 
     # 3. stage-f retraining (pair list written against the pseudo GT)
     pair_list = osp.join(w, "train_pairs.txt")
     ids = [ln.strip() for ln in open(osp.join(ld, "train_aug_id.txt")) if ln.strip()]
     with open(pair_list, "w") as f:
         for i in ids:
-            f.write(f"/JPEGImages/{i}.jpg {osp.relpath(osp.join(dsrg_out, i + '.png'), args.pascal_dir)}\n")
+            f.write(f"/JPEGImages/{i}.jpg {osp.abspath(osp.join(dsrg_out, i + '.png'))}\n")
     f_args = ["--stage", "f", "--root", args.pascal_dir, "--pair-list", pair_list,
               "--snapshot-dir", osp.join(w, "model-f"),
               "--max-iter", str(args.stage2_iters),
-              "--weights", model_s, "--dtype", args.dtype]
+              "--snapshot-every", str(args.stage2_iters),
+              "--weights", model_s, "--dtype", args.dtype] + size_overrides
     train_tool.main(f_args)
     model_f = osp.join(w, "model-f", f"step_{args.stage2_iters}_params")
 
     # 4. final val predictions
     final_out = osp.join(w, "DSRG_final_output")
-    mf = build_arg_parser("").parse_args(
-        ["--images", osp.join(ld, "val_id.txt"), "--dir", args.pascal_dir,
-         "--model", model_f, "--output", final_out, "--smooth"]
-    )
-    run_inference(mf, scales=[0.75, 1.0, 1.25])
+    mf_args = ["--images", osp.join(ld, "val_id.txt"), "--dir", args.pascal_dir,
+               "--model", model_f, "--output", final_out]
+    if not args.no_smooth:
+        mf_args.append("--smooth")
+    mf = build_arg_parser("").parse_args(mf_args)
+    run_inference(mf, scales=args.test_scales)
 
     # 5. evaluate
     evaluate_tool.main(
