@@ -145,7 +145,22 @@ def bench_crf_single(size: int = 321, m: int = 21, iters: int = 20):
     for _ in range(iters):
         out = np.asarray(CRF(image, logp, scale_factor=1.0))
     dt = (time.perf_counter() - t0) / iters
-    return 1.0 / dt, dt
+
+    base_dt = None
+    try:  # native CPU engine baseline (the reference's host-CRF role)
+        from dsrg_tpu import native
+
+        if native.available() or native.build():
+            small = 81  # N^2 CPU engine: probe a smaller size, scale by N^2
+            img_s = image[:small, :small]
+            lp_s = logp[:small, :small]
+            native.crf_cpu(img_s, lp_s, maxiter=10, scale_factor=1.0)
+            t0 = time.perf_counter()
+            native.crf_cpu(img_s, lp_s, maxiter=10, scale_factor=1.0)
+            base_dt = (time.perf_counter() - t0) * (size / small) ** 4
+    except Exception:
+        pass
+    return 1.0 / dt, dt, base_dt
 
 
 def bench_grow_only(batch_size: int = 20, iters: int = 20):
@@ -172,7 +187,23 @@ def bench_grow_only(batch_size: int = 20, iters: int = 20):
     for _ in range(iters):
         out = np.asarray(grow(*args))
     dt = (time.perf_counter() - t0) / iters
-    return b / dt, dt
+
+    base_dt = None
+    try:  # native CPU BFS grower as the host-side baseline
+        from dsrg_tpu import native
+
+        if native.available() or native.build():
+            cu = cues[0].transpose(2, 0, 1).copy()
+            pr = probs[0].transpose(2, 0, 1).copy()
+            native.region_grow_cpu(labels[0], cu, pr)
+            t0 = time.perf_counter()
+            for i in range(b):
+                native.region_grow_cpu(labels[i], cues[i].transpose(2, 0, 1).copy(),
+                                       probs[i].transpose(2, 0, 1).copy())
+            base_dt = time.perf_counter() - t0
+    except Exception:
+        pass
+    return b / dt, dt, base_dt
 
 
 def bench_inference(batch_size: int = 8, iters: int = 10, model_name: str = "vgg"):
@@ -211,18 +242,20 @@ def main():
     args = ap.parse_args()
 
     if args.config == 1:
-        ips, dt = bench_crf_single()
+        ips, dt, base_dt = bench_crf_single()
         print(json.dumps({"metric": "images/sec (dense-CRF refinement, 321x321x21)",
                           "value": round(ips, 2), "unit": "images/sec",
-                          "vs_baseline": None,
-                          "detail": {"ms_per_image": round(dt * 1000, 1)}}))
+                          "vs_baseline": round(base_dt / dt, 2) if base_dt else None,
+                          "detail": {"ms_per_image": round(dt * 1000, 1),
+                                     "native_cpu_ms_est": round(base_dt * 1000, 1) if base_dt else None}}))
         return
     if args.config == 2:
-        ips, dt = bench_grow_only()
+        ips, dt, base_dt = bench_grow_only()
         print(json.dumps({"metric": "images/sec (DSRG seed expansion, batch 20 @ 41x41x21)",
                           "value": round(ips, 2), "unit": "images/sec",
-                          "vs_baseline": None,
-                          "detail": {"ms_per_batch": round(dt * 1000, 1)}}))
+                          "vs_baseline": round(base_dt / dt, 2) if base_dt else None,
+                          "detail": {"ms_per_batch": round(dt * 1000, 1),
+                                     "native_cpu_ms": round(base_dt * 1000, 1) if base_dt else None}}))
         return
     if args.config in (3, 5):
         name = "vgg" if args.config == 3 else "resnet101"

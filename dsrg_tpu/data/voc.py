@@ -18,6 +18,7 @@ same routine the reference tools call — for bit parity.
 from __future__ import annotations
 
 import os.path as osp
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -79,6 +80,7 @@ class Stage1Dataset:
         batch_size: int = 20,
         shuffle: bool = True,
         seed: int = 0,
+        workers: int = 8,
     ):
         self.image_dir = image_dir
         self.entries = read_pair_list(input_list)
@@ -89,6 +91,8 @@ class Stage1Dataset:
         self.rng = np.random.default_rng(seed)
         self._order = np.arange(len(self.entries))
         self._pos = len(self.entries)  # trigger reshuffle on first batch
+        # PIL/scipy release the GIL in decode/zoom, so threads parallelize IO
+        self._pool = ThreadPoolExecutor(max_workers=workers) if workers > 1 else None
 
     def __len__(self) -> int:
         return len(self.entries)
@@ -102,18 +106,27 @@ class Stage1Dataset:
         self._pos += 1
         return int(idx)
 
+    def _load_one(self, entry):
+        fname, image_id = entry
+        img = load_image_bgr(osp.join(self.image_dir, fname))
+        image = preprocess_image(img, self.crop_size)
+        labels, cues = self.cue_db.get(int(image_id))
+        return image, labels, cues
+
     def next_batch(self) -> dict:
         n = self.batch_size
         m = self.cue_db.num_classes
         s = self.cue_db.cue_size
+        picked = [self.entries[self._next_index()] for _ in range(n)]
+        if self._pool is not None:
+            loaded = list(self._pool.map(self._load_one, picked))
+        else:
+            loaded = [self._load_one(e) for e in picked]
         images = np.empty((n, self.crop_size, self.crop_size, 3), np.float32)
         labels = np.empty((n, m), np.float32)
         cues = np.empty((n, s, s, m), np.float32)
-        for i in range(n):
-            fname, image_id = self.entries[self._next_index()]
-            img = load_image_bgr(osp.join(self.image_dir, fname))
-            images[i] = preprocess_image(img, self.crop_size)
-            labels[i], cues[i] = self.cue_db.get(int(image_id))
+        for i, (img, lab, cue) in enumerate(loaded):
+            images[i], labels[i], cues[i] = img, lab, cue
         return {"images": images, "labels": labels, "cues": cues}
 
     def __iter__(self) -> Iterator[dict]:
@@ -139,6 +152,7 @@ class Stage2Dataset:
         ignore_label: int = 255,
         phase: str = "Train",
         seed: int = 0,
+        workers: int = 8,
     ):
         self.root = root
         self.entries = read_pair_list(pair_list)
@@ -150,6 +164,7 @@ class Stage2Dataset:
         self.rng = np.random.default_rng(seed)
         self._order = np.arange(len(self.entries))
         self._pos = len(self.entries)
+        self._pool = ThreadPoolExecutor(max_workers=workers) if workers > 1 else None
 
     def __len__(self) -> int:
         return len(self.entries)
@@ -171,7 +186,7 @@ class Stage2Dataset:
             return p
         return cand
 
-    def _load_pair(self, img_path: str, lbl_path: str):
+    def _load_pair(self, img_path: str, lbl_path: str, crop_seed: int):
         image = load_image_bgr(self._resolve(img_path)) - self.mean
         label = np.asarray(Image.open(self._resolve(lbl_path)), dtype=np.float32)
         if label.ndim == 3:
@@ -185,8 +200,10 @@ class Stage2Dataset:
                            constant_values=self.ignore_label)
         h, w = label.shape
         if self.phase == "Train":
-            off_h = self.rng.integers(0, h - c + 1)
-            off_w = self.rng.integers(0, w - c + 1)
+            # per-item Generator: thread-safe + order-deterministic
+            crop_rng = np.random.default_rng(crop_seed)
+            off_h = crop_rng.integers(0, h - c + 1)
+            off_w = crop_rng.integers(0, w - c + 1)
         else:
             off_h, off_w = (h - c) // 2, (w - c) // 2
         return (
@@ -196,11 +213,17 @@ class Stage2Dataset:
 
     def next_batch(self) -> dict:
         n, c = self.batch_size, self.crop
+        picked = [self.entries[self._next_index()] for _ in range(n)]
+        seeds = self.rng.integers(0, 2**31 - 1, size=n)
+        jobs = [(p[0], p[1], int(s)) for p, s in zip(picked, seeds)]
+        if self._pool is not None:
+            loaded = list(self._pool.map(lambda a: self._load_pair(*a), jobs))
+        else:
+            loaded = [self._load_pair(*a) for a in jobs]
         images = np.empty((n, c, c, 3), np.float32)
         labels = np.empty((n, c, c), np.int32)
-        for i in range(n):
-            img_path, lbl_path = self.entries[self._next_index()]
-            images[i], labels[i] = self._load_pair(img_path, lbl_path)
+        for i, (img, lab) in enumerate(loaded):
+            images[i], labels[i] = img, lab
         return {"images": images, "labels": labels}
 
     def __iter__(self) -> Iterator[dict]:
