@@ -34,6 +34,24 @@ def confusion_matrix_np(gt: np.ndarray, pred: np.ndarray, nclass: int) -> np.nda
     return np.bincount(idx, minlength=nclass * nclass).reshape(nclass, nclass).astype(np.float64)
 
 
+def confusion_matrix_jax(gt, pred, nclass: int):
+    """On-device (nclass, nclass) confusion matrix for in-loop validation.
+
+    jit/vmap-friendly: invalid pixels (gt or pred outside [0, nclass)) are
+    scattered to a discard row.  Sum per-batch matrices with ``psum`` for
+    data-parallel evaluation (replaces the reference's multiprocessing-pool
+    per-image matrices, evaluate.py:148-156).
+    """
+    import jax.numpy as jnp
+
+    gt = jnp.ravel(gt).astype(jnp.int32)
+    pred = jnp.ravel(pred).astype(jnp.int32)
+    valid = (gt >= 0) & (gt < nclass) & (pred >= 0) & (pred < nclass)
+    idx = jnp.where(valid, gt * nclass + pred, nclass * nclass)
+    counts = jnp.zeros(nclass * nclass + 1, jnp.float32).at[idx].add(1.0)
+    return counts[:-1].reshape(nclass, nclass)
+
+
 class ConfusionMatrix:
     """Mirror of the reference's ConfusionMatrix (evaluate.py:17-68)."""
 

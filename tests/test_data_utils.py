@@ -137,3 +137,17 @@ def test_preprocess_matches_reference_recipe(voc_fixture):
     ref = ndzoom(bgr, (21 / img.shape[0], 21 / img.shape[1], 1.0), order=1)
     ref = ref - np.array([104.0, 117.0, 123.0], np.float32)
     np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_confusion_matrix_jax_matches_numpy():
+    import jax.numpy as jnp
+
+    from dsrg_tpu.utils.confusion import confusion_matrix_jax
+
+    rng = np.random.default_rng(7)
+    gt = rng.integers(0, 5, 300)
+    gt[::11] = 255
+    pred = rng.integers(0, 5, 300)
+    got = np.asarray(confusion_matrix_jax(jnp.asarray(gt), jnp.asarray(pred), 5))
+    ref = confusion_matrix_np(gt, pred, 5)
+    np.testing.assert_array_equal(got, ref)
