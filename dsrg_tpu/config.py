@@ -26,6 +26,7 @@ class Stage1Config:
     crf_scale_factor: float = 12.0   # pylayers.py:82,335
     crf_iters: int = 10
     crf_fast: bool = True            # bf16 kernel matmuls (see mean_field_exact)
+    fast_dropout_rng: bool = True    # hardware RngBitGenerator for dropout masks
     mirror: bool = True              # AnnotationLayer param_str
 
     base_lr: float = 5e-4            # solver-s.prototxt:4-8
@@ -60,3 +61,4 @@ class Stage2Config:
     seed: int = 0
 
     compute_dtype: str = "float32"
+    fast_dropout_rng: bool = True    # hardware RngBitGenerator for dropout masks

@@ -44,6 +44,9 @@ def make_stage2_step(
             base_rng = jax.random.fold_in(base_rng, jax.lax.axis_index(axis_name))
         rng, _ = jax.random.split(state.rng)
         _, drop_rng = jax.random.split(base_rng)
+        if cfg.fast_dropout_rng:
+            drop_seed = jax.random.randint(drop_rng, (), 0, jnp.iinfo(jnp.int32).max)
+            drop_rng = jax.random.key(drop_seed, impl="rbg")
         images = batch["images"]
         labels = batch["labels"]
 

@@ -1,0 +1,52 @@
+"""Data-parallel correctness: one shard_map step over 8 devices must produce
+the same parameters as the same global batch on one device (dropout/mirror
+disabled so the computation is deterministic; per-image CRF/grow math is
+shard-local, and pmean-of-per-shard-means equals the global mean for both
+losses at equal shard sizes)."""
+
+import dataclasses
+
+import jax
+import numpy as np
+
+from dsrg_tpu.config import Stage1Config
+from dsrg_tpu.models import DeepLabLargeFOV
+from dsrg_tpu.parallel import data_parallel_step, make_mesh, shard_batch
+from dsrg_tpu.train.stage1 import init_stage1, make_stage1_step
+
+
+def test_dp_step_matches_single_device():
+    cfg = Stage1Config(
+        batch_size=8, crop_size=41, cue_size=6, num_classes=5,
+        crf_iters=2, mirror=False,
+    )
+    model = DeepLabLargeFOV(num_classes=5, head_dilations=(2, 4), dropout_rate=0.0)
+    state, tx, _ = init_stage1(model, cfg)
+
+    rng = np.random.default_rng(0)
+    labels = np.zeros((8, 5), np.float32)
+    labels[:, 0] = labels[:, 3] = 1.0
+    batch = {
+        "images": rng.normal(size=(8, 41, 41, 3)).astype(np.float32) * 20,
+        "labels": labels,
+        "cues": (rng.uniform(size=(8, 6, 6, 5)) < 0.1).astype(np.float32)
+        * labels[:, None, None, :],
+    }
+
+    single = jax.jit(make_stage1_step(model, cfg, tx))
+    s1, m1 = single(state, batch)
+
+    mesh = make_mesh()
+    dp = data_parallel_step(
+        make_stage1_step(model, cfg, tx, axis_name="data"), mesh, donate_state=False
+    )
+    s8, m8 = dp(state, shard_batch(batch, mesh))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m1["seed_pixels"]), float(m8["seed_pixels"]), rtol=1e-6
+    )
+    flat1 = jax.tree_util.tree_leaves(s1.params)
+    flat8 = jax.tree_util.tree_leaves(s8.params)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7)
