@@ -43,6 +43,7 @@ def test_dsrg_training_learns_synthetic_objects():
     cfg = Stage1Config(
         batch_size=4, crop_size=41, cue_size=6, num_classes=4,
         crf_iters=3, base_lr=2e-3, stepsize=10_000, mirror=False,
+        fast_dropout_rng=False,  # keep the test's trajectory deterministic
     )
     model = DeepLabLargeFOV(num_classes=cfg.num_classes, head_dilations=(2, 4))
     state, tx, _ = init_stage1(model, cfg)
