@@ -10,7 +10,6 @@ place instead of four config mechanisms (prototxt / YAML param_str / argparse
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
 
 
 @dataclasses.dataclass(frozen=True)

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import os.path as osp
 from concurrent.futures import ThreadPoolExecutor
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, List, Tuple
 
 import numpy as np
 from PIL import Image

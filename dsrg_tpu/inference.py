@@ -16,7 +16,6 @@ per-shape compilation.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Sequence
 
 import jax

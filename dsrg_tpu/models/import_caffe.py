@@ -19,7 +19,6 @@ feeds BGR exactly like Caffe's, so no swap is needed).
 
 from __future__ import annotations
 
-import struct
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np

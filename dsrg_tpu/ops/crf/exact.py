@@ -27,7 +27,6 @@ bilateral grid.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Sequence
 
 import jax

@@ -19,8 +19,6 @@ exact truncated separable Gaussian convolution over the image plane.
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ map marginals Q (N, M) + ground truth to a scalar (gradients come free from
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ contiguous, which :func:`make_global_mesh` does).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

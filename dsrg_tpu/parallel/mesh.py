@@ -12,7 +12,6 @@ local — no per-iteration cross-device synchronization (which a naive
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Sequence
 
 import jax

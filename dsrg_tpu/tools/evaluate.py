@@ -8,9 +8,6 @@ from __future__ import annotations
 
 import argparse
 import os.path as osp
-import sys
-
-import numpy as np
 
 from dsrg_tpu.utils.confusion import ConfusionMatrix
 from dsrg_tpu.utils.palette import read_mask_png

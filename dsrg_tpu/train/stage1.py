@@ -18,7 +18,6 @@ downstream layers (DSRG, seed loss) then observe.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax
