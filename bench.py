@@ -237,13 +237,52 @@ def bench_inference(batch_size: int = 8, iters: int = 10, model_name: str = "vgg
     return batch_size / dt, dt
 
 
+def bench_stage2_step(batch_size: int = 10, crop: int = 321, iters: int = 10):
+    """Stage-2 retrain step (plain DeepLab CE on pseudo GT, solver-f geometry)."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    _enable_compile_cache()
+    from dsrg_tpu.config import Stage2Config
+    from dsrg_tpu.models import DeepLabLargeFOV
+    from dsrg_tpu.train.stage2 import init_stage2, make_stage2_step
+
+    cfg = Stage2Config(batch_size=batch_size, crop_size=crop, compute_dtype="bfloat16")
+    model = DeepLabLargeFOV(num_classes=21, compute_dtype=jnp.bfloat16)
+    state, tx, _ = init_stage2(model, cfg)
+    step = jax.jit(make_stage2_step(model, cfg, tx), donate_argnums=(0,))
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": jnp.asarray(rng.normal(size=(batch_size, crop, crop, 3)).astype(np.float32) * 40),
+        "labels": jnp.asarray(rng.integers(0, 21, size=(batch_size, crop, crop)).astype(np.int32)),
+    }
+    for _ in range(3):
+        state, m = step(state, batch)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch)
+    float(m["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    return batch_size / dt, dt
+
+
 def main():
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", type=int, default=4, choices=[1, 2, 3, 4, 5],
-                    help="BASELINE.json config index (default: full train step)")
+    ap.add_argument("--config", type=int, default=4, choices=[1, 2, 3, 4, 5, 6],
+                    help="BASELINE.json config index (default: full train step); 6 = stage-2 step")
     args = ap.parse_args()
+
+    if args.config == 6:
+        ips, dt = bench_stage2_step()
+        print(json.dumps({"metric": "images/sec (stage-2 retrain step, batch 10 @ 321x321)",
+                          "value": round(ips, 2), "unit": "images/sec",
+                          "vs_baseline": None,
+                          "detail": {"ms_per_step": round(dt * 1000, 1)}}))
+        return
 
     if args.config == 1:
         ips, dt, base_dt = bench_crf_single()
