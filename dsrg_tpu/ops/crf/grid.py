@@ -12,6 +12,14 @@ interpolation.  Both the lattice and the grid approximate the same brute-force
 Gaussian filter; the unit tests validate this module against the exact engine
 on mid-size images.
 
+TPU performance note: naive scatter-add with duplicate indices serializes on
+TPU.  The splat geometry is *fixed for a given image* across all mean-field
+iterations, so a :class:`GridPlan` precomputes the cell assignment once,
+sorts the pixel order by cell (``indices_are_sorted`` segment-sum is a fast
+segmented reduction), and caches the 32 slice corners + weights.  Each
+filter application is then sort-free: gather(perm) -> segment_sum(sorted) ->
+5 banded matmuls -> 32 weighted gathers.
+
 The spatial-only ("Gaussian", theta_gamma) kernel needs no grid: it is an
 exact truncated separable Gaussian convolution over the image plane.
 """
@@ -57,68 +65,91 @@ def _grid_geometry(h: int, w: int, sigma_xy: float, sigma_rgb: float, pad: int =
     return gy, gx, gc, pad
 
 
+class GridPlan:
+    """Image-dependent, iteration-independent splat/slice geometry."""
+
+    def __init__(self, guide: jnp.ndarray, sigma_xy: float, sigma_rgb: float):
+        h, w, _ = guide.shape
+        self.h, self.w = h, w
+        gy, gx, gc, pad = _grid_geometry(h, w, sigma_xy, sigma_rgb)
+        self.dims = (gy, gx, gc, gc, gc)
+        self.n_cells = int(np.prod(self.dims))
+
+        ys = jnp.arange(h, dtype=jnp.float32)[:, None] / sigma_xy + pad
+        xs = jnp.arange(w, dtype=jnp.float32)[None, :] / sigma_xy + pad
+        coords = jnp.stack(
+            [
+                jnp.broadcast_to(ys, (h, w)),
+                jnp.broadcast_to(xs, (h, w)),
+                guide[..., 0] / sigma_rgb + pad,
+                guide[..., 1] / sigma_rgb + pad,
+                guide[..., 2] / sigma_rgb + pad,
+            ],
+            axis=-1,
+        ).reshape(h * w, 5)
+
+        strides = np.array(
+            [self.dims[1] * self.dims[2] * self.dims[3] * self.dims[4],
+             self.dims[2] * self.dims[3] * self.dims[4],
+             self.dims[3] * self.dims[4], self.dims[4], 1],
+            dtype=np.int32,
+        )
+        dims_arr = jnp.asarray(self.dims, jnp.int32)
+
+        nearest = jnp.clip(jnp.round(coords).astype(jnp.int32), 0, dims_arr - 1)
+        flat_idx = nearest @ jnp.asarray(strides)
+        # sort pixels by cell once; per-filter segment_sum is then a fast
+        # sorted segmented reduction instead of a serialized scatter
+        self.perm = jnp.argsort(flat_idx)
+        self.sorted_idx = flat_idx[self.perm]
+
+        lo = jnp.clip(jnp.floor(coords).astype(jnp.int32), 0, dims_arr - 2)
+        frac = coords - lo.astype(jnp.float32)
+        corner_idx, corner_w = [], []
+        for corner in range(32):
+            bits = jnp.asarray([(corner >> d) & 1 for d in range(5)], jnp.int32)
+            corner_idx.append((lo + bits[None, :]) @ jnp.asarray(strides))
+            corner_w.append(
+                jnp.prod(jnp.where(bits[None, :] == 1, frac, 1.0 - frac), axis=-1)
+            )
+        self.corner_idx = jnp.stack(corner_idx)  # (32, N)
+        self.corner_w = jnp.stack(corner_w)  # (32, N)
+
+        self.blurs = [
+            jnp.asarray(_axis_blur_matrix(d, 1.0, truncate=2.0)) for d in self.dims
+        ]
+
+    def filter(self, values: jnp.ndarray) -> jnp.ndarray:
+        """Approximate K @ values for (H, W, C) values."""
+        h, w, c = values.shape
+        flat = values.reshape(h * w, c)
+
+        grid = jax.ops.segment_sum(
+            flat[self.perm], self.sorted_idx,
+            num_segments=self.n_cells, indices_are_sorted=True,
+        ).reshape(*self.dims, c)
+
+        for axis, b in enumerate(self.blurs):
+            grid = jnp.moveaxis(
+                jnp.tensordot(b, jnp.moveaxis(grid, axis, 0), axes=1, precision=_HIGH),
+                0, axis,
+            )
+
+        grid_flat = grid.reshape(self.n_cells, c)
+        gathered = jnp.take(grid_flat, self.corner_idx.reshape(-1), axis=0)
+        gathered = gathered.reshape(32, h * w, c)
+        out = jnp.sum(gathered * self.corner_w[:, :, None], axis=0)
+        return out.reshape(h, w, c)
+
+
 def bilateral_grid_filter(
     values: jnp.ndarray,
     guide: jnp.ndarray,
     sigma_xy: float,
     sigma_rgb: float,
 ) -> jnp.ndarray:
-    """Approximate K @ values for the 5-D bilateral kernel.
-
-    values: (H, W, C); guide: (H, W, 3) image in [0, 255].
-    """
-    h, w, c = values.shape
-    gy, gx, gc, pad = _grid_geometry(h, w, sigma_xy, sigma_rgb)
-
-    ys = jnp.arange(h, dtype=jnp.float32)[:, None] / sigma_xy + pad
-    xs = jnp.arange(w, dtype=jnp.float32)[None, :] / sigma_xy + pad
-    coords = jnp.stack(
-        [
-            jnp.broadcast_to(ys, (h, w)),
-            jnp.broadcast_to(xs, (h, w)),
-            guide[..., 0] / sigma_rgb + pad,
-            guide[..., 1] / sigma_rgb + pad,
-            guide[..., 2] / sigma_rgb + pad,
-        ],
-        axis=-1,
-    ).reshape(h * w, 5)
-
-    dims = (gy, gx, gc, gc, gc)
-    strides = np.array(
-        [dims[1] * dims[2] * dims[3] * dims[4], dims[2] * dims[3] * dims[4],
-         dims[3] * dims[4], dims[4], 1],
-        dtype=np.int32,
-    )
-    n_cells = int(np.prod(dims))
-
-    # --- splat (nearest cell) ---
-    nearest = jnp.clip(jnp.round(coords).astype(jnp.int32), 0,
-                       jnp.asarray(dims, jnp.int32) - 1)
-    flat_idx = nearest @ jnp.asarray(strides)
-    grid = jax.ops.segment_sum(values.reshape(h * w, c), flat_idx, num_segments=n_cells)
-    grid = grid.reshape(*dims, c)
-
-    # --- blur: separable Gaussian, sigma = 1 grid unit ---
-    for axis in range(5):
-        b = jnp.asarray(_axis_blur_matrix(dims[axis], 1.0, truncate=2.0))
-        grid = jnp.moveaxis(
-            jnp.tensordot(b, jnp.moveaxis(grid, axis, 0), axes=1, precision=_HIGH), 0, axis
-        )
-
-    # --- slice (multilinear over 32 corners) ---
-    grid_flat = grid.reshape(n_cells, c)
-    lo = jnp.clip(jnp.floor(coords).astype(jnp.int32), 0,
-                  jnp.asarray(dims, jnp.int32) - 2)
-    frac = coords - lo.astype(jnp.float32)
-    out = jnp.zeros((h * w, c), jnp.float32)
-    for corner in range(32):
-        bits = jnp.asarray([(corner >> d) & 1 for d in range(5)], jnp.int32)
-        idx = (lo + bits[None, :]) @ jnp.asarray(strides)
-        wgt = jnp.prod(
-            jnp.where(bits[None, :] == 1, frac, 1.0 - frac), axis=-1, keepdims=True
-        )
-        out = out + wgt * jnp.take(grid_flat, idx, axis=0)
-    return out.reshape(h, w, c)
+    """One-shot filter (builds a fresh plan; prefer GridPlan for loops)."""
+    return GridPlan(guide, sigma_xy, sigma_rgb).filter(values)
 
 
 def mean_field_grid(
@@ -140,12 +171,14 @@ def mean_field_grid(
     s_xy = 80.0 / scale_factor
     s_g = 3.0 / scale_factor
 
+    plan = GridPlan(img, s_xy, color_factor)
+
     ones = jnp.ones((h, w, 1), jnp.float32)
-    norm_b = jax.lax.rsqrt(bilateral_grid_filter(ones, img, s_xy, color_factor) + 1e-20)
+    norm_b = jax.lax.rsqrt(plan.filter(ones) + 1e-20)
     norm_s = jax.lax.rsqrt(separable_gaussian_filter(ones, s_g) + 1e-20)
 
     def message(q):
-        mb = norm_b * bilateral_grid_filter(norm_b * q, img, s_xy, color_factor)
+        mb = norm_b * plan.filter(norm_b * q)
         ms = norm_s * separable_gaussian_filter(norm_s * q, s_g)
         return w_bilateral * mb + w_spatial * ms
 
