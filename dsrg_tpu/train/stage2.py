@@ -43,12 +43,19 @@ def make_stage2_step(
         if axis_name is not None:
             base_rng = jax.random.fold_in(base_rng, jax.lax.axis_index(axis_name))
         rng, _ = jax.random.split(state.rng)
-        _, drop_rng = jax.random.split(base_rng)
+        _, drop_rng, flip_rng = jax.random.split(base_rng, 3)
         if cfg.fast_dropout_rng:
             drop_seed = jax.random.randint(drop_rng, (), 0, jnp.iinfo(jnp.int32).max)
             drop_rng = jax.random.key(drop_seed, impl="rbg")
         images = batch["images"]
         labels = batch["labels"]
+
+        if cfg.mirror:
+            # joint random horizontal flip of image + label
+            # (SimpleTransformer, layer.py:231-236)
+            flip = jax.random.bernoulli(flip_rng, 0.5, (images.shape[0],))
+            images = jnp.where(flip[:, None, None, None], images[:, :, ::-1, :], images)
+            labels = jnp.where(flip[:, None, None], labels[:, :, ::-1], labels)
 
         # Interp shrink x8 on the integer label map (lossless subsampling at
         # the recipe's 321 -> 41 geometry, see ops/interp.py).
