@@ -159,17 +159,19 @@ def bench_crf_single(size: int = 321, m: int = 21, iters: int = 20):
 
     sys.path.insert(0, ".")
     _enable_compile_cache()
-    from dsrg_tpu.ops.crf import CRF
+    from dsrg_tpu.ops.crf.grid import mean_field_grid
 
     rng = np.random.default_rng(0)
-    image = rng.integers(0, 256, size=(size, size, 3)).astype(np.float32)
+    image = jnp.asarray(rng.integers(0, 256, size=(size, size, 3)).astype(np.float32))
     probs = rng.dirichlet(np.ones(m), size=size * size).astype(np.float32)
-    logp = np.log(probs.reshape(size, size, m))
-    out = np.asarray(CRF(image, logp, scale_factor=1.0))  # compile
+    logp = jnp.asarray(np.log(probs.reshape(size, size, m)))
+    # reduce on device: the tunnel transfers ~8 MB otherwise, swamping compute
+    fn = jax.jit(lambda im, u: mean_field_grid(u, im, n_iters=10).mean())
+    float(fn(image, logp))  # compile
     lat = _dispatch_latency()
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = np.asarray(CRF(image, logp, scale_factor=1.0))
+        out = float(fn(image, logp))
     dt = max((time.perf_counter() - t0) / iters - lat, 1e-6)
 
     base_dt = None
@@ -206,13 +208,13 @@ def bench_grow_only(batch_size: int = 20, iters: int = 20):
         labels[i, rng.integers(1, m, 2)] = 1
     cues = (rng.uniform(size=(b, h, h, m)) < 0.02).astype(np.float32) * labels[:, None, None, :]
     probs = rng.dirichlet(np.ones(m), size=(b, h, h)).astype(np.float32)
-    grow = jax.jit(lambda l, c, p: dsrg_grow(l, c, p))
+    grow = jax.jit(lambda l, c, p: dsrg_grow(l, c, p).sum())
     args = (jnp.asarray(labels), jnp.asarray(cues), jnp.asarray(probs))
-    np.asarray(grow(*args))
+    float(grow(*args))
     lat = _dispatch_latency()
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = np.asarray(grow(*args))
+        out = float(grow(*args))
     dt = max((time.perf_counter() - t0) / iters - lat, 1e-6)
 
     base_dt = None
@@ -247,16 +249,16 @@ def bench_inference(batch_size: int = 8, iters: int = 10, model_name: str = "vgg
     if model_name == "vgg":
         model = DeepLabLargeFOV(num_classes=21, compute_dtype=jnp.bfloat16)
         variables = model.init({"params": jax.random.PRNGKey(0)}, x[:1], train=False)
-        fwd = jax.jit(lambda v, xx: model.apply(v, xx, train=False))
+        fwd = jax.jit(lambda v, xx: model.apply(v, xx, train=False).mean())
     else:
         model = ResNet101DeepLab(num_classes=21, compute_dtype=jnp.bfloat16)
         variables = model.init({"params": jax.random.PRNGKey(0)}, x[:1], train=False)
-        fwd = jax.jit(lambda v, xx: model.apply(v, xx, train=False))
-    np.asarray(fwd(variables, x))
+        fwd = jax.jit(lambda v, xx: model.apply(v, xx, train=False).mean())
+    float(fwd(variables, x))
     lat = _dispatch_latency()
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = np.asarray(fwd(variables, x))
+        out = float(fwd(variables, x))
     dt = max((time.perf_counter() - t0) / iters - lat, 1e-6)
     return batch_size / dt, dt
 
