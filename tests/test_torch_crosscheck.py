@@ -18,9 +18,12 @@ def _torch_forward(params, x_nchw, head_dilations):
     """Reference prototxt graph in torch, NCHW, fp64 for a tight oracle."""
 
     def conv(x, name, dilation=1):
-        w = torch.tensor(np.asarray(params[name]["kernel"]), dtype=torch.float64)
+        w = params[name]["kernel"]
+        b = params[name]["bias"]
+        if not torch.is_tensor(w):  # jax leaves -> fresh fp64 tensors
+            w = torch.tensor(np.asarray(w), dtype=torch.float64)
+            b = torch.tensor(np.asarray(b), dtype=torch.float64)
         w = w.permute(3, 2, 0, 1)  # HWIO -> OIHW
-        b = torch.tensor(np.asarray(params[name]["bias"]), dtype=torch.float64)
         pad = dilation * (w.shape[-1] // 2)
         return F.conv2d(x, w, b, padding=pad, dilation=dilation)
 
