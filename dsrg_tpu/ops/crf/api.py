@@ -74,6 +74,19 @@ def _crf_grid_jit(image, unary, maxiter, scale_factor, color_factor):
     )
 
 
+@partial(jax.jit, static_argnames=("maxiter", "scale_factor", "color_factor"))
+def _crf_lattice_jit(image, unary, maxiter, scale_factor, color_factor):
+    from dsrg_tpu.ops.crf.lattice import mean_field_lattice
+
+    return mean_field_lattice(
+        unary.astype(jnp.float32),
+        image,
+        n_iters=maxiter,
+        scale_factor=scale_factor,
+        color_factor=color_factor,
+    )
+
+
 def CRF(
     image,
     unary,
@@ -89,9 +102,10 @@ def CRF(
     the unary cost, so callers pass probabilities or log-probabilities exactly
     as they did with the reference).  Returns (H, W, M) marginals.
 
-    ``engine``: "exact" (N^2 kernel, bit-accurate), "grid" (bilateral-grid
-    approximation for large images), or "auto" (exact up to
-    ``EXACT_MAX_PIXELS`` pixels, grid beyond).
+    ``engine``: "exact" (N^2 kernel, bit-accurate), "grid" (dense bilateral
+    grid), "lattice" (compact sparse lattice, permutohedral-style
+    truncation), or "auto" (exact up to ``EXACT_MAX_PIXELS`` pixels, grid
+    beyond).
     """
     image = jnp.asarray(image)
     unary = jnp.asarray(unary)
@@ -99,6 +113,8 @@ def CRF(
     n = image.shape[0] * image.shape[1]
     if engine == "exact" or (engine == "auto" and n <= EXACT_MAX_PIXELS):
         return _crf_core_jit(image, unary, maxiter, float(scale_factor), float(color_factor))
+    if engine == "lattice":
+        return _crf_lattice_jit(image, unary, maxiter, float(scale_factor), float(color_factor))
     return _crf_grid_jit(image, unary, maxiter, float(scale_factor), float(color_factor))
 
 

@@ -57,6 +57,12 @@ def parse_args(argv=None):
     p.add_argument("--no-mesh", action="store_true", help="force single-device")
     p.add_argument("--auto-resume", action="store_true",
                    help="resume from the latest snapshot in --snapshot-dir if present")
+    # in-training validation (the reference has none; SegAccuracy-equivalent+)
+    p.add_argument("--val-every", type=int, default=0, help="validate every N iters (0 = off)")
+    p.add_argument("--val-ids", default=None, help="validation id list")
+    p.add_argument("--val-dir", default=None, help="VOC root for validation images")
+    p.add_argument("--val-gt", default=None, help="ground-truth mask dir")
+    p.add_argument("--val-limit", type=int, default=100, help="max validation images")
     p.add_argument("--metrics-log", default=None, help="JSONL metrics file")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace of steps 10-14 here")
@@ -161,6 +167,31 @@ def main(argv=None) -> None:
         loader = PrefetchLoader(dataset)
         print("single-device training")
 
+    def run_validation(params):
+        import os.path as osp
+
+        from PIL import Image as PILImage
+
+        from dsrg_tpu.inference import Predictor
+        from dsrg_tpu.utils.confusion import ConfusionMatrix
+        from dsrg_tpu.utils.palette import read_mask_png
+
+        variables = {"params": params, **extra_vars} if extra_vars else params
+        predictor = Predictor(model, variables, num_classes=cfg.num_classes)
+        conf = ConfusionMatrix(cfg.num_classes)
+        ids = [ln.strip() for ln in open(args.val_ids) if ln.strip()][: args.val_limit]
+        for img_id in ids:
+            img = np.asarray(
+                PILImage.open(
+                    osp.join(args.val_dir, "JPEGImages", img_id + ".jpg")
+                ).convert("RGB")
+            )
+            mask = predictor.predict_mask(img, sizes=[cfg.crop_size], smooth=False)
+            gt = read_mask_png(osp.join(args.val_gt, img_id + ".png"))
+            conf.add(gt, mask)
+        miou, _, _ = conf.jaccard()
+        return miou
+
     from dsrg_tpu.utils.profiling import MetricLogger, StepTimer, trace
 
     logger = MetricLogger(args.metrics_log, average_window=args.display)
@@ -184,6 +215,10 @@ def main(argv=None) -> None:
             if timer.step_time:
                 extra = f" ({timer.step_time * 1000:.0f} ms/iter, {timer.images_per_sec:.1f} img/s)"
             print(f"iter {it + 1}: loss = {averaged['loss']:.4f}{extra}", flush=True)
+        if args.val_every and (it + 1) % args.val_every == 0 and args.val_ids:
+            miou = run_validation(state.params)
+            logger.log(it + 1, {"val_miou": miou})
+            print(f"iter {it + 1}: val mIoU = {miou:.4f}", flush=True)
         if (it + 1) % cfg.snapshot_every == 0 or (it + 1) == cfg.max_iter:
             path = ckpt.save_checkpoint(args.snapshot_dir, state, it + 1)
             if extra_vars:
