@@ -36,9 +36,11 @@ def main(argv=None) -> None:
     p.add_argument("--test-scales", type=float, nargs="+", default=[0.75, 1.0, 1.25],
                    help="final prediction scales (test-ms-f)")
     p.add_argument("--no-smooth", action="store_true", help="skip CRF post-processing")
+    p.add_argument("--model", dest="model_name", choices=["vgg16", "resnet101"],
+                   default="vgg16", help="backbone family for both stages")
     args = p.parse_args(argv)
 
-    size_overrides = []
+    size_overrides = ["--model", args.model_name]
     if args.batch_size is not None:
         size_overrides += ["--batch-size", str(args.batch_size)]
     if args.crop_size is not None:
@@ -63,7 +65,8 @@ def main(argv=None) -> None:
     # 2. pseudo-GT dump over train_aug
     dsrg_out = osp.join(w, "DSRGOutput")
     test_ms_args = ["--images", osp.join(ld, "train_aug_id.txt"), "--dir", args.pascal_dir,
-                    "--model", model_s, "--output", dsrg_out]
+                    "--model", model_s, "--output", dsrg_out,
+                    "--model-name", args.model_name]
     if not args.no_smooth:
         test_ms_args.append("--smooth")
     ms = build_arg_parser("").parse_args(test_ms_args)
@@ -86,7 +89,8 @@ def main(argv=None) -> None:
     # 4. final val predictions
     final_out = osp.join(w, "DSRG_final_output")
     mf_args = ["--images", osp.join(ld, "val_id.txt"), "--dir", args.pascal_dir,
-               "--model", model_f, "--output", final_out]
+               "--model", model_f, "--output", final_out,
+               "--model-name", args.model_name]
     if not args.no_smooth:
         mf_args.append("--smooth")
     mf = build_arg_parser("").parse_args(mf_args)
