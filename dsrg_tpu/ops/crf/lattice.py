@@ -40,6 +40,25 @@ _BLUR_R = 2
 _BLUR_W = np.exp(-0.5 * np.arange(-_BLUR_R, _BLUR_R + 1) ** 2).astype(np.float32)
 
 
+def _positions_in_sorted(cells: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
+    """searchsorted(cells, queries, side='right') for a sorted ``cells``.
+
+    Implemented as ONE merge argsort + cumsum + scatter instead of per-query
+    binary search: TPU binary search is a sequence of random gathers
+    (descriptor-bound); a bitonic sort of the concatenated array is
+    contiguous VPU work and ~20x faster at lattice scales.
+    """
+    n = cells.shape[0]
+    nq = queries.shape[0]
+    merged = jnp.concatenate([cells, queries])
+    perm = jnp.argsort(merged, stable=True)  # ties: cells (lower index) first
+    isq = perm >= n
+    c_before = jnp.cumsum((~isq).astype(jnp.int32))  # inclusive C-count == exclusive at query slots
+    qorig = jnp.where(isq, perm - n, nq)  # non-queries dropped via OOB scatter
+    out = jnp.zeros(nq, jnp.int32)
+    return out.at[qorig].set(c_before.astype(jnp.int32), mode="drop")
+
+
 class CompactLatticePlan:
     """Image-dependent splat/blur/slice geometry over occupied cells only."""
 
@@ -81,38 +100,40 @@ class CompactLatticePlan:
         # unique cell ids packed to the front, sentinel tail (second sort)
         self.cells = jnp.sort(jnp.where(is_first, sorted_flat, sentinel))  # (N,)
 
-        # pixel -> slot
-        self.pixel_slot = jnp.searchsorted(self.cells, flat).astype(jnp.int32)
-
-        # blur neighbors per axis/offset: slot index + validity
-        nb_slots, nb_valid = [], []
+        # all lookups resolved by ONE merge-rank pass: 20 blur-neighbor
+        # arrays, 32 slice-corner arrays, and the pixel->slot mapping
+        neighbor_ids = []
         for axis in range(5):
             for off in range(-_BLUR_R, _BLUR_R + 1):
                 if off == 0:
                     continue
-                neighbor = self.cells + off * strides[axis]
-                s = jnp.searchsorted(self.cells, neighbor).astype(jnp.int32)
-                s = jnp.clip(s, 0, n - 1)
-                valid = self.cells[s] == neighbor
-                nb_slots.append(s)
-                nb_valid.append(valid)
-        self.nb_slots = jnp.stack(nb_slots)  # (20, N)
-        self.nb_valid = jnp.stack(nb_valid)  # (20, N) bool
+                neighbor_ids.append(self.cells + off * strides[axis])
 
-        # slice corners
         lo = jnp.clip(jnp.floor(coords).astype(jnp.int32), 0, dims_arr - 2)
         frac = coords - lo.astype(jnp.float32)
-        c_slots, c_w = [], []
+        corner_ids, corner_wgt = [], []
         for corner in range(32):
             bits = jnp.asarray([(corner >> d) & 1 for d in range(5)], jnp.int32)
-            cid = (lo + bits[None, :]) @ strides_j
-            s = jnp.clip(jnp.searchsorted(self.cells, cid).astype(jnp.int32), 0, n - 1)
-            valid = self.cells[s] == cid
-            wgt = jnp.prod(jnp.where(bits[None, :] == 1, frac, 1.0 - frac), axis=-1)
-            c_slots.append(s)
-            c_w.append(jnp.where(valid, wgt, 0.0))
-        self.corner_slots = jnp.stack(c_slots)  # (32, N)
-        self.corner_w = jnp.stack(c_w)  # (32, N)
+            corner_ids.append((lo + bits[None, :]) @ strides_j)
+            corner_wgt.append(
+                jnp.prod(jnp.where(bits[None, :] == 1, frac, 1.0 - frac), axis=-1)
+            )
+
+        queries = jnp.concatenate(neighbor_ids + corner_ids + [flat])
+        pos_right = _positions_in_sorted(self.cells, queries)
+        slot = jnp.clip(pos_right - 1, 0, n - 1)
+        valid = (pos_right > 0) & (self.cells[slot] == queries)
+
+        nb_slot = slot[: 20 * n].reshape(20, n)
+        nb_ok = valid[: 20 * n].reshape(20, n)
+        c_slot = slot[20 * n : 52 * n].reshape(32, n)
+        c_ok = valid[20 * n : 52 * n].reshape(32, n)
+        self.pixel_slot = slot[52 * n :]
+
+        self.nb_slots = nb_slot  # (20, N)
+        self.nb_valid = nb_ok  # (20, N) bool
+        self.corner_slots = c_slot  # (32, N)
+        self.corner_w = jnp.where(c_ok, jnp.stack(corner_wgt), 0.0)  # (32, N)
 
         self.n = n
         self.blur_w = jnp.asarray(_BLUR_W)
