@@ -145,17 +145,19 @@ class CompactLatticePlan:
 
         table = jax.ops.segment_sum(flat, self.pixel_slot, num_segments=self.n)
 
-        k = 0
+        offs = [o for o in range(-_BLUR_R, _BLUR_R + 1) if o != 0]
+        w_off = jnp.asarray(
+            [_BLUR_W[j] for j, o in enumerate(range(-_BLUR_R, _BLUR_R + 1)) if o != 0]
+        )
+        n_off = len(offs)
         for axis in range(5):
-            acc = self.blur_w[_BLUR_R] * table
-            for j, off in enumerate(range(-_BLUR_R, _BLUR_R + 1)):
-                if off == 0:
-                    continue
-                contrib = jnp.take(table, self.nb_slots[k], axis=0)
-                contrib = jnp.where(self.nb_valid[k][:, None], contrib, 0.0)
-                acc = acc + self.blur_w[j if off < 0 else j] * contrib
-                k += 1
-            table = acc
+            sl = self.nb_slots[axis * n_off : (axis + 1) * n_off]  # (n_off, N)
+            ok = self.nb_valid[axis * n_off : (axis + 1) * n_off]
+            contrib = jnp.take(table, sl.reshape(-1), axis=0).reshape(n_off, self.n, c)
+            contrib = jnp.where(ok[:, :, None], contrib, 0.0)
+            table = self.blur_w[_BLUR_R] * table + jnp.einsum(
+                "o,onc->nc", w_off, contrib
+            )
 
         gathered = jnp.take(table, self.corner_slots.reshape(-1), axis=0)
         gathered = gathered.reshape(32, self.n, c)
