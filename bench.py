@@ -159,14 +159,14 @@ def bench_crf_single(size: int = 321, m: int = 21, iters: int = 20):
 
     sys.path.insert(0, ".")
     _enable_compile_cache()
-    from dsrg_tpu.ops.crf.grid import mean_field_grid
+    from dsrg_tpu.ops.crf.lattice import mean_field_lattice
 
     rng = np.random.default_rng(0)
     image = jnp.asarray(rng.integers(0, 256, size=(size, size, 3)).astype(np.float32))
     probs = rng.dirichlet(np.ones(m), size=size * size).astype(np.float32)
     logp = jnp.asarray(np.log(probs.reshape(size, size, m)))
     # reduce on device: the tunnel transfers ~8 MB otherwise, swamping compute
-    fn = jax.jit(lambda im, u: mean_field_grid(u, im, n_iters=10).mean())
+    fn = jax.jit(lambda im, u: mean_field_lattice(u, im, n_iters=10).mean())
     float(fn(image, logp))  # compile
     lat = _dispatch_latency()
     t0 = time.perf_counter()

@@ -102,10 +102,10 @@ def CRF(
     the unary cost, so callers pass probabilities or log-probabilities exactly
     as they did with the reference).  Returns (H, W, M) marginals.
 
-    ``engine``: "exact" (N^2 kernel, bit-accurate), "grid" (dense bilateral
-    grid), "lattice" (compact sparse lattice, permutohedral-style
-    truncation), or "auto" (exact up to ``EXACT_MAX_PIXELS`` pixels, grid
-    beyond).
+    ``engine``: "exact" (N^2 kernel, bit-accurate), "lattice" (compact sparse
+    lattice, permutohedral-style truncation — the fast large-image default),
+    "grid" (dense bilateral grid), or "auto" (exact up to
+    ``EXACT_MAX_PIXELS`` pixels, lattice beyond).
     """
     image = jnp.asarray(image)
     unary = jnp.asarray(unary)
@@ -113,9 +113,9 @@ def CRF(
     n = image.shape[0] * image.shape[1]
     if engine == "exact" or (engine == "auto" and n <= EXACT_MAX_PIXELS):
         return _crf_core_jit(image, unary, maxiter, float(scale_factor), float(color_factor))
-    if engine == "lattice":
-        return _crf_lattice_jit(image, unary, maxiter, float(scale_factor), float(color_factor))
-    return _crf_grid_jit(image, unary, maxiter, float(scale_factor), float(color_factor))
+    if engine == "grid":
+        return _crf_grid_jit(image, unary, maxiter, float(scale_factor), float(color_factor))
+    return _crf_lattice_jit(image, unary, maxiter, float(scale_factor), float(color_factor))
 
 
 # ---------------------------------------------------------------------------
