@@ -57,7 +57,7 @@ def _dilate8(mask_f: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _flood_fill(seeded: jnp.ndarray, mask: jnp.ndarray, unroll: int = 8) -> jnp.ndarray:
+def _flood_fill(seeded: jnp.ndarray, mask: jnp.ndarray, unroll: int = 4) -> jnp.ndarray:
     """Pixels 8-connected-reachable from ``seeded`` within ``mask`` ({0,1} floats).
 
     ``unroll`` dilation steps run between convergence checks: growth is
