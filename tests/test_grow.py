@@ -68,3 +68,27 @@ def test_grow_is_superset_of_cues_on_present_classes():
     labels, cues, probs = _random_grow_case(rng)
     ours = np.asarray(dsrg_grow(labels[None], cues[None], probs[None]))[0]
     assert np.all(ours >= cues)
+
+
+@pytest.mark.parametrize("seed", [20, 21, 22])
+def test_grow_with_overlapping_multiclass_cues(seed):
+    """Stresses the barrier rule's branches: pixels cued by exactly one OTHER
+    class (barrier), by two classes (convertible), and by the growing class."""
+    rng = np.random.default_rng(seed)
+    m, h, w = 6, 19, 19
+    labels = np.zeros(m, np.float32)
+    labels[[0, 1, 2, 3]] = 1.0
+    logits = rng.normal(size=(h, w, m)).astype(np.float32) * 4
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    probs = e / e.sum(-1, keepdims=True)
+    # dense, heavily overlapping cues across present classes
+    cues = (rng.uniform(size=(h, w, m)) < 0.25).astype(np.float32)
+    cues *= labels[None, None, :]
+    assert (cues.sum(-1) >= 2).any()  # overlaps exercised
+    ours = np.asarray(
+        dsrg_grow(labels[None], cues[None], probs[None], th1=0.5, th2=0.2)
+    )[0]
+    ref = grow_oracle(
+        labels, cues.transpose(2, 0, 1), probs.transpose(2, 0, 1), th1=0.5, th2=0.2
+    )
+    np.testing.assert_array_equal(ours.transpose(2, 0, 1), ref)
