@@ -19,9 +19,15 @@ from dsrg_tpu.parallel.mesh import shard_batch
 
 
 class PrefetchLoader:
-    def __init__(self, dataset: Iterable[dict], mesh=None, prefetch: int = 2):
+    def __init__(self, dataset: Iterable[dict], mesh=None, prefetch: int = 2,
+                 half_images: bool = True):
+        """``half_images``: transfer the 'images' tensor as float16 — halves
+        host->device bytes (the train step casts back to f32/bf16; the ~0.1
+        absolute quantization on mean-subtracted pixels is far below the
+        model's bf16 compute noise)."""
         self.dataset = dataset
         self.mesh = mesh
+        self.half_images = half_images
         self.queue: queue.Queue = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
@@ -41,6 +47,11 @@ class PrefetchLoader:
         batch = self.queue.get()
         if batch is None:
             raise StopIteration
+        if self.half_images and "images" in batch:
+            import numpy as np
+
+            batch = dict(batch)
+            batch["images"] = np.asarray(batch["images"], np.float16)
         if self.mesh is not None:
             return shard_batch(batch, self.mesh)
         return {k: jax.device_put(v) for k, v in batch.items()}

@@ -198,13 +198,21 @@ def main(argv=None) -> None:
     timer = StepTimer(cfg.batch_size)
     start_iter = int(state.step)
     profiler_ctx = None
+    pending = []
     for it in range(start_iter, cfg.max_iter):
         if args.profile_dir and it == start_iter + 10:
             profiler_ctx = trace(args.profile_dir)
             profiler_ctx.__enter__()
         batch = next(loader)
         state, metrics = step(state, batch)
-        averaged = logger.log(it + 1, {k: float(v) for k, v in metrics.items()})
+        # defer host materialization to the display boundary: per-step
+        # float() syncs stall the device pipeline (badly so through remote
+        # tunnels); async dispatch keeps it full
+        pending.append((it + 1, metrics))
+        if (it + 1) % args.display == 0:
+            for itn, md in pending:
+                averaged = logger.log(itn, {k: float(v) for k, v in md.items()})
+            pending.clear()
         timer.tick()
         if args.profile_dir and it == start_iter + 14 and profiler_ctx is not None:
             profiler_ctx.__exit__(None, None, None)
@@ -226,6 +234,8 @@ def main(argv=None) -> None:
             else:
                 ckpt.save_params(path + "_params", state.params)
             print("snapshot ->", path, flush=True)
+    for itn, md in pending:  # flush any tail metrics
+        logger.log(itn, {k: float(v) for k, v in md.items()})
     loader.close()
     logger.close()
 

@@ -72,7 +72,7 @@ def make_stage1_step(
             # ~20 ms/step at batch 20; 'rbg' is near-free on TPU.
             drop_seed = jax.random.randint(drop_rng, (), 0, jnp.iinfo(jnp.int32).max)
             drop_rng = jax.random.key(drop_seed, impl="rbg")
-        images = batch["images"]
+        images = batch["images"].astype(jnp.float32)  # loaders may ship fp16
         labels = batch["labels"]
         cues = batch["cues"]
 

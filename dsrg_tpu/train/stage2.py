@@ -47,7 +47,7 @@ def make_stage2_step(
         if cfg.fast_dropout_rng:
             drop_seed = jax.random.randint(drop_rng, (), 0, jnp.iinfo(jnp.int32).max)
             drop_rng = jax.random.key(drop_seed, impl="rbg")
-        images = batch["images"]
+        images = batch["images"].astype(jnp.float32)  # loaders may ship fp16
         labels = batch["labels"]
 
         if cfg.mirror:
