@@ -29,6 +29,17 @@ from dsrg_tpu.ops.crf import CRF
 EPS = 1e-5  # probability floor (test-ms.py:102-103)
 
 
+@jax.jit
+def _batched_lattice_crf(images, unary, masks):
+    """vmapped masked compact-lattice CRF (scale_factor 1.0, 10 iters)."""
+    from dsrg_tpu.ops.crf.lattice import mean_field_lattice
+
+    def one(img, u, mk):
+        return mean_field_lattice(u, img, n_iters=10, valid_mask=mk)
+
+    return jax.vmap(one)(images, unary, masks)
+
+
 class Predictor:
     def __init__(self, model, params, num_classes: int = 21, bucket: int = 64):
         self.model = model
@@ -93,6 +104,96 @@ class Predictor:
         e = np.exp(scores_all - scores_all.max(-1, keepdims=True))
         probs = e / e.sum(-1, keepdims=True)
         return np.maximum(probs, EPS)
+
+    # -- batched path --------------------------------------------------------
+
+    def _scores_batch(self, images_bgr: list) -> list:
+        """Forward a list of (h_i, w_i, 3) mean-subtracted images in ONE jit
+        call on a shared canvas; returns per-image cropped score maps."""
+        ph = self._pad_size(max(im.shape[0] for im in images_bgr))
+        pw = self._pad_size(max(im.shape[1] for im in images_bgr))
+        x = np.zeros((len(images_bgr), ph, pw, 3), np.float32)
+        for i, im in enumerate(images_bgr):
+            x[i, : im.shape[0], : im.shape[1]] = im
+        scores = np.asarray(self._fwd(self.variables, jnp.asarray(x)))
+        out = []
+        for i, im in enumerate(images_bgr):
+            oh, ow = (im.shape[0] - 1) // 8 + 1, (im.shape[1] - 1) // 8 + 1
+            out.append(scores[i, :oh, :ow])
+        return out
+
+    def predict_probs_batch(
+        self,
+        images_rgb: list,
+        sizes: Optional[Sequence[int]] = None,
+        scales: Optional[Sequence[float]] = None,
+    ) -> list:
+        """Batched multi-scale probabilities for a list of RGB images."""
+        n = len(images_rgb)
+        dims = [(float(im.shape[0]), float(im.shape[1])) for im in images_rgb]
+        bgrs = [np.asarray(im, np.float32)[:, :, ::-1] - BGR_MEAN for im in images_rgb]
+
+        if sizes is not None:
+            zoom_sets = [[(s / d1, s / d2) for (d1, d2) in dims] for s in sizes]
+        else:
+            zoom_sets = [[(s, s)] * n for s in (scales or (1.0,))]
+
+        scores_all = [0.0] * n
+        for per_image_zoom in zoom_sets:
+            scaled = [
+                ndzoom(bgrs[i], (zy, zx, 1.0), order=1)
+                for i, (zy, zx) in enumerate(per_image_zoom)
+            ]
+            score_list = self._scores_batch(scaled)
+            for i, sc in enumerate(score_list):
+                d1, d2 = dims[i]
+                sc = ndzoom(sc, (d1 / sc.shape[0], d2 / sc.shape[1], 1.0), order=1)
+                scores_all[i] = scores_all[i] + sc
+
+        probs = []
+        for sa in scores_all:
+            e = np.exp(sa - sa.max(-1, keepdims=True))
+            probs.append(np.maximum(e / e.sum(-1, keepdims=True), EPS))
+        return probs
+
+    def predict_masks(
+        self,
+        images_rgb: list,
+        sizes: Optional[Sequence[int]] = None,
+        scales: Optional[Sequence[float]] = None,
+        smooth: bool = True,
+        canvas_bucket: int = 32,
+    ) -> list:
+        """Batched predict_mask: one forward per scale and ONE vmapped
+        compact-lattice CRF for the whole chunk (masked normalization makes
+        the shared padded canvas exact for each image's valid region)."""
+        probs = self.predict_probs_batch(images_rgb, sizes=sizes, scales=scales)
+        if not smooth:
+            return [p.argmax(-1).astype(np.uint8) for p in probs]
+
+        def bucket(v):
+            return -(-v // canvas_bucket) * canvas_bucket
+
+        ph = bucket(max(im.shape[0] for im in images_rgb))
+        pw = bucket(max(im.shape[1] for im in images_rgb))
+        n = len(images_rgb)
+        m = probs[0].shape[-1]
+        imgs = np.zeros((n, ph, pw, 3), np.float32)
+        unary = np.full((n, ph, pw, m), -20.0, np.float32)
+        masks = np.zeros((n, ph, pw), np.float32)
+        for i, (im, p) in enumerate(zip(images_rgb, probs)):
+            h, w = im.shape[:2]
+            imgs[i, :h, :w] = np.asarray(im, np.float32)
+            unary[i, :h, :w] = np.log(p)
+            masks[i, :h, :w] = 1.0
+        q = np.asarray(
+            _batched_lattice_crf(jnp.asarray(imgs), jnp.asarray(unary), jnp.asarray(masks))
+        )
+        out = []
+        for i, im in enumerate(images_rgb):
+            h, w = im.shape[:2]
+            out.append(q[i, :h, :w].argmax(-1).astype(np.uint8))
+        return out
 
     def predict_mask(
         self,

@@ -173,21 +173,33 @@ def mean_field_lattice(
     color_factor: float = 13.0,
     w_bilateral: float = 10.0,
     w_spatial: float = 3.0,
+    valid_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Compact-lattice mean field with the reference CRF() parameterization."""
+    """Compact-lattice mean field with the reference CRF() parameterization.
+
+    ``valid_mask``: optional (H, W) {0,1} mask for padded batch members —
+    invalid pixels are excluded from both kernels (masked splat + masked
+    symmetric normalization), so batching differently-sized images onto a
+    common canvas is exact for the valid region.
+    """
     h, w, m = unary.shape
     img = jnp.round(image.astype(jnp.float32))
     plan = CompactLatticePlan(img, 80.0 / scale_factor, color_factor)
     s_g = 3.0 / scale_factor
 
-    ones = jnp.ones((h, w, 1), jnp.float32)
-    norm_b = jax.lax.rsqrt(plan.filter(ones) + 1e-20)
-    norm_s = jax.lax.rsqrt(separable_gaussian_filter(ones, s_g) + 1e-20)
+    mask = (
+        jnp.ones((h, w, 1), jnp.float32)
+        if valid_mask is None
+        else valid_mask.astype(jnp.float32)[..., None]
+    )
+    norm_b = jax.lax.rsqrt(plan.filter(mask) + 1e-20)
+    norm_s = jax.lax.rsqrt(separable_gaussian_filter(mask, s_g) + 1e-20)
 
     def message(q):
-        mb = norm_b * plan.filter(norm_b * q)
-        ms = norm_s * separable_gaussian_filter(norm_s * q, s_g)
-        return w_bilateral * mb + w_spatial * ms
+        qm = q * mask
+        mb = norm_b * plan.filter(norm_b * qm)
+        ms = norm_s * separable_gaussian_filter(norm_s * qm, s_g)
+        return (w_bilateral * mb + w_spatial * ms) * mask
 
     q = jax.nn.softmax(unary, axis=-1)
 

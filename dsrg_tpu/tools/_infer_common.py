@@ -31,6 +31,8 @@ def build_arg_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--gpu", dest="gpu_id", default=0, type=int, help="unused (parity flag)")
     p.add_argument("--num-classes", default=21, type=int)
     p.add_argument("--model-name", choices=["vgg16", "resnet101"], default="vgg16")
+    p.add_argument("--batch", default=8, type=int,
+                   help="images per batched forward/CRF chunk (1 = reference-style serial)")
     return p
 
 
@@ -55,9 +57,20 @@ def run_inference(
     data_dir = osp.join(args.data_dir, "JPEGImages")
     if args.output_dir and not osp.isdir(args.output_dir):
         os.makedirs(args.output_dir)
-    for index, img_id in enumerate(image_ids):
-        print(index, img_id, flush=True)
-        image = np.asarray(Image.open(osp.join(data_dir, img_id + ".jpg")).convert("RGB"))
-        mask = predictor.predict_mask(image, sizes=sizes, scales=scales, smooth=args.smooth)
+    chunk = max(int(getattr(args, "batch", 1)), 1)
+    for start in range(0, len(image_ids), chunk):
+        ids = image_ids[start : start + chunk]
+        print(start, " ".join(ids), flush=True)
+        images = [
+            np.asarray(Image.open(osp.join(data_dir, i + ".jpg")).convert("RGB"))
+            for i in ids
+        ]
+        if chunk == 1:
+            masks = [
+                predictor.predict_mask(images[0], sizes=sizes, scales=scales, smooth=args.smooth)
+            ]
+        else:
+            masks = predictor.predict_masks(images, sizes=sizes, scales=scales, smooth=args.smooth)
         if args.output_dir:
-            write_png(mask, osp.join(args.output_dir, img_id + ".png"))
+            for img_id, mask in zip(ids, masks):
+                write_png(mask, osp.join(args.output_dir, img_id + ".png"))

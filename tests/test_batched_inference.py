@@ -1,0 +1,65 @@
+"""Batched inference path: batched probs must equal per-image probs exactly;
+batched masked-lattice CRF must agree with the per-image exact engine."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dsrg_tpu.inference import Predictor
+from dsrg_tpu.models import DeepLabLargeFOV
+
+
+def _predictor(m=6):
+    model = DeepLabLargeFOV(num_classes=m, head_dilations=(2, 4))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 41, 41, 3)), train=False
+    )["params"]
+    return Predictor(model, params, num_classes=m, bucket=1)
+
+
+def _images(rng, n=3):
+    out = []
+    for i in range(n):
+        h, w = 40 + 7 * i, 52 - 5 * i
+        img = np.zeros((h, w, 3), np.uint8)
+        img[:, : w // 2] = [200, 60, 50]
+        img[:, w // 2 :] = [30, 180, 190]
+        img = np.clip(
+            img.astype(np.int32) + rng.integers(-8, 8, img.shape), 0, 255
+        ).astype(np.uint8)
+        out.append(img)
+    return out
+
+
+def test_batched_probs_match_per_image():
+    predictor = _predictor()
+    rng = np.random.default_rng(0)
+    images = _images(rng)
+    batched = predictor.predict_probs_batch(images, sizes=[41])
+    for im, pb in zip(images, batched):
+        ps = predictor.predict_probs(im, sizes=[41])
+        np.testing.assert_allclose(pb, ps, rtol=1e-4, atol=1e-5)
+
+
+def test_batched_masks_nosmooth_match():
+    predictor = _predictor()
+    rng = np.random.default_rng(1)
+    images = _images(rng)
+    batched = predictor.predict_masks(images, sizes=[41], smooth=False)
+    for im, mb in zip(images, batched):
+        ms = predictor.predict_mask(im, sizes=[41], smooth=False)
+        np.testing.assert_array_equal(mb, ms)
+
+
+def test_batched_crf_agrees_with_exact_single():
+    predictor = _predictor()
+    rng = np.random.default_rng(2)
+    images = _images(rng)
+    batched = predictor.predict_masks(images, sizes=[41], smooth=True)
+    for im, mb in zip(images, batched):
+        # per-image path uses the exact N^2 engine at these sizes
+        ms = predictor.predict_mask(im, sizes=[41], smooth=True)
+        assert mb.shape == ms.shape
+        agree = (mb == ms).mean()
+        assert agree > 0.95, agree
