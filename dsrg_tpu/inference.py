@@ -30,14 +30,16 @@ EPS = 1e-5  # probability floor (test-ms.py:102-103)
 
 
 @jax.jit
-def _batched_lattice_crf(images, unary, masks):
-    """vmapped masked compact-lattice CRF (scale_factor 1.0, 10 iters)."""
+def _masked_lattice_crf(image, unary, mask):
+    """Masked compact-lattice CRF on a padded canvas (sf 1.0, 10 iters).
+
+    Called per image but jitted once per canvas shape: padding every chunk
+    member to a shared bucketed canvas avoids a recompile per image shape
+    (vmapping instead is a net loss — the plan's sorts scale superlinearly
+    under vmap)."""
     from dsrg_tpu.ops.crf.lattice import mean_field_lattice
 
-    def one(img, u, mk):
-        return mean_field_lattice(u, img, n_iters=10, valid_mask=mk)
-
-    return jax.vmap(one)(images, unary, masks)
+    return mean_field_lattice(unary, image, n_iters=10, valid_mask=mask)
 
 
 class Predictor:
@@ -176,23 +178,20 @@ class Predictor:
 
         ph = bucket(max(im.shape[0] for im in images_rgb))
         pw = bucket(max(im.shape[1] for im in images_rgb))
-        n = len(images_rgb)
         m = probs[0].shape[-1]
-        imgs = np.zeros((n, ph, pw, 3), np.float32)
-        unary = np.full((n, ph, pw, m), -20.0, np.float32)
-        masks = np.zeros((n, ph, pw), np.float32)
-        for i, (im, p) in enumerate(zip(images_rgb, probs)):
-            h, w = im.shape[:2]
-            imgs[i, :h, :w] = np.asarray(im, np.float32)
-            unary[i, :h, :w] = np.log(p)
-            masks[i, :h, :w] = 1.0
-        q = np.asarray(
-            _batched_lattice_crf(jnp.asarray(imgs), jnp.asarray(unary), jnp.asarray(masks))
-        )
         out = []
-        for i, im in enumerate(images_rgb):
+        for im, p in zip(images_rgb, probs):
             h, w = im.shape[:2]
-            out.append(q[i, :h, :w].argmax(-1).astype(np.uint8))
+            img = np.zeros((ph, pw, 3), np.float32)
+            unary = np.full((ph, pw, m), -20.0, np.float32)
+            mask = np.zeros((ph, pw), np.float32)
+            img[:h, :w] = np.asarray(im, np.float32)
+            unary[:h, :w] = np.log(p)
+            mask[:h, :w] = 1.0
+            q = np.asarray(
+                _masked_lattice_crf(jnp.asarray(img), jnp.asarray(unary), jnp.asarray(mask))
+            )
+            out.append(q[:h, :w].argmax(-1).astype(np.uint8))
         return out
 
     def predict_mask(
