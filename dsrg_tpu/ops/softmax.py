@@ -10,6 +10,7 @@ backward pass.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 MIN_PROB = 1e-4
@@ -31,3 +32,18 @@ def floored_softmax(logits: jnp.ndarray, axis: int = -1, min_prob: float = MIN_P
     e = jnp.exp(z)
     p = e / jnp.sum(e, axis=axis, keepdims=True) + min_prob
     return p / jnp.sum(p, axis=axis, keepdims=True)
+
+
+def clamp_straight_through(x: jnp.ndarray, min_value: float) -> jnp.ndarray:
+    """Value clamp with identity gradient — the CRFLayer blob mutation.
+
+    The reference clamps the shared softmax blob *in place*
+    (``pylayers.py:67``): downstream losses see the clamped values, but the
+    gradient written back to the blob passes to the softmax backward
+    untouched (Caffe applies no clamp Jacobian).  ``jnp.maximum`` would
+    instead zero the gradient wherever the clamp is active — and the clamp IS
+    active for every strongly-suppressed class (the floored softmax's minimum
+    ``(0 + 1e-4) / (1 + 21e-4)`` sits *below* ``min_prob``), which would kill
+    the seed loss's ability to recover suppressed seeded classes.
+    """
+    return x + jax.lax.stop_gradient(jnp.maximum(x, min_value) - x)

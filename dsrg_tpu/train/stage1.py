@@ -28,7 +28,7 @@ from dsrg_tpu.config import Stage1Config
 from dsrg_tpu.losses import balanced_seed_loss, constrain_loss
 from dsrg_tpu.ops.crf import crf_refine_with_log
 from dsrg_tpu.ops.grow import dsrg_grow
-from dsrg_tpu.ops.softmax import MIN_PROB, floored_softmax
+from dsrg_tpu.ops.softmax import MIN_PROB, clamp_straight_through, floored_softmax
 from dsrg_tpu.train.optimizer import caffe_sgd, lr_step
 from dsrg_tpu.train.train_state import TrainState
 
@@ -87,7 +87,8 @@ def make_stage1_step(
                 variables, images, train=True, rngs={"dropout": drop_rng}
             )
             probs = floored_softmax(scores)
-            probs = jnp.maximum(probs, MIN_PROB)  # CRFLayer blob mutation
+            # CRFLayer blob mutation: clamp values, identity gradient
+            probs = clamp_straight_through(probs, MIN_PROB)
             q_log, q = crf_refine_with_log(
                 probs, images, cfg.crf_scale_factor, cfg.crf_iters, cfg.crf_fast
             )

@@ -119,3 +119,19 @@ def test_softmax_ce_ignore():
     np.testing.assert_allclose(float(loss), ref, rtol=1e-5)
     ref_acc = (logits.argmax(-1)[valid] == labels[valid]).mean()
     np.testing.assert_allclose(float(acc), ref_acc, rtol=1e-5)
+
+
+def test_clamp_straight_through_gradient_semantics():
+    """The CRFLayer blob mutation: clamped VALUES, identity GRADIENT — a
+    plain jnp.maximum would zero the seed-loss gradient for every strongly
+    suppressed seeded class (reference passes it through)."""
+    from dsrg_tpu.ops.softmax import clamp_straight_through
+
+    x = jnp.asarray([5e-5, 2e-4, 0.9])
+    y = clamp_straight_through(x, MIN_PROB)
+    np.testing.assert_allclose(np.asarray(y), [1e-4, 2e-4, 0.9], rtol=1e-6)
+    g = jax.grad(lambda v: jnp.sum(clamp_straight_through(v, MIN_PROB) * jnp.asarray([1.0, 2.0, 3.0])))(x)
+    np.testing.assert_allclose(np.asarray(g), [1.0, 2.0, 3.0])  # identity bwd
+    # contrast: jnp.maximum gates the first entry
+    g2 = jax.grad(lambda v: jnp.sum(jnp.maximum(v, MIN_PROB) * jnp.asarray([1.0, 2.0, 3.0])))(x)
+    np.testing.assert_allclose(np.asarray(g2), [0.0, 2.0, 3.0])
