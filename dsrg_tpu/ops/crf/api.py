@@ -107,6 +107,17 @@ def CRF(
     "grid" (dense bilateral grid), or "auto" (exact up to
     ``EXACT_MAX_PIXELS`` pixels, lattice beyond).
     """
+    if engine == "native":
+        # host-side OpenMP engine (native/crf_cpu.cpp) — no accelerator needed
+        from dsrg_tpu import native
+
+        if not (native.available() or native.build()):
+            raise RuntimeError("native engine requested but libdsrg_native.so unavailable")
+        return native.crf_cpu(
+            np.asarray(image, np.float32), np.asarray(unary, np.float32),
+            maxiter=maxiter, scale_factor=float(scale_factor),
+            color_factor=float(color_factor),
+        )
     image = jnp.asarray(image)
     unary = jnp.asarray(unary)
     assert image.shape[:2] == unary.shape[:2]

@@ -98,3 +98,15 @@ def test_crf_log_refine_custom_backward():
     q = np.asarray(crf_refine_probs(probs, jnp.asarray(images)))
     # reference heuristic backward: (1 - Q) * top_diff  (pylayers.py:90-92)
     np.testing.assert_allclose(np.asarray(g), (1.0 - q) * 2.0, rtol=1e-5, atol=1e-6)
+
+
+def test_crf_native_engine_matches_exact():
+    from dsrg_tpu import native
+
+    if not (native.available() or native.build()):
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(9)
+    image, probs = _random_case(rng, 9, 10, 5)
+    got = CRF(image, probs, maxiter=5, scale_factor=12.0, engine="native")
+    ref = np.asarray(CRF(image, probs, maxiter=5, scale_factor=12.0, engine="exact"))
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
