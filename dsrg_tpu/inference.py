@@ -140,17 +140,27 @@ class Predictor:
         else:
             zoom_sets = [[(s, s)] * n for s in (scales or (1.0,))]
 
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=8)  # scipy zoom releases the GIL
         scores_all = [0.0] * n
         for per_image_zoom in zoom_sets:
-            scaled = [
-                ndzoom(bgrs[i], (zy, zx, 1.0), order=1)
-                for i, (zy, zx) in enumerate(per_image_zoom)
-            ]
+            scaled = list(
+                pool.map(
+                    lambda iz: ndzoom(bgrs[iz[0]], (iz[1][0], iz[1][1], 1.0), order=1),
+                    enumerate(per_image_zoom),
+                )
+            )
             score_list = self._scores_batch(scaled)
-            for i, sc in enumerate(score_list):
+
+            def up(i_sc):
+                i, sc = i_sc
                 d1, d2 = dims[i]
-                sc = ndzoom(sc, (d1 / sc.shape[0], d2 / sc.shape[1], 1.0), order=1)
+                return i, ndzoom(sc, (d1 / sc.shape[0], d2 / sc.shape[1], 1.0), order=1)
+
+            for i, sc in pool.map(up, enumerate(score_list)):
                 scores_all[i] = scores_all[i] + sc
+        pool.shutdown(wait=False)
 
         probs = []
         for sa in scores_all:
