@@ -52,7 +52,13 @@ def vgg_param_mults(params) -> tuple:
     for path, _ in flat:
         names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
         is_bias = names[-1] == "bias"
-        is_head = any(str(n).startswith("fc8") for n in names)
+        is_head = any(str(n).startswith("fc8") or str(n).startswith("fc1_voc12") for n in names)
+        is_bn = any("bn" in str(n) for n in names)
+        if is_bn:
+            # Caffe-DeepLab freezes batch-norm scale/shift (lr_mult 0)
+            lr_leaves.append(0.0)
+            dec_leaves.append(0.0)
+            continue
         if is_head:
             lr_leaves.append(20.0 if is_bias else 10.0)
         else:

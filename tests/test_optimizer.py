@@ -51,3 +51,17 @@ def test_caffe_sgd_update_sequence():
     np.testing.assert_allclose(
         np.asarray(params["layer"]["kernel"]), [2 - 0.052 - expect_v], rtol=1e-6
     )
+
+
+def test_bn_and_resnet_head_mults():
+    params = {
+        "bn1": {"scale": jnp.ones(4), "bias": jnp.zeros(4)},
+        "res2_0": {"conv1": {"kernel": jnp.zeros((1, 1, 4, 4))},
+                   "bn2": {"scale": jnp.ones(4), "bias": jnp.zeros(4)}},
+        "fc1_voc12_c1": {"kernel": jnp.zeros((3, 3, 4, 2)), "bias": jnp.zeros(2)},
+    }
+    lr, dec = vgg_param_mults(params)
+    assert lr["bn1"]["scale"] == 0.0 and lr["bn1"]["bias"] == 0.0  # frozen BN
+    assert dec["res2_0"]["bn2"]["scale"] == 0.0
+    assert lr["res2_0"]["conv1"]["kernel"] == 1.0
+    assert lr["fc1_voc12_c1"]["kernel"] == 10.0 and lr["fc1_voc12_c1"]["bias"] == 20.0
