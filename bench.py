@@ -93,8 +93,15 @@ def _grow_one(args):
     return grow_oracle(labels, cues, probs)
 
 
-def bench_reference_host_step(batch_size: int = 20, n_probe: int = 2):
-    """Per-step host cost of the reference python layers (numpy/scipy stand-ins)."""
+def bench_reference_host_step(batch_size: int = 20, n_probe: int = 3):
+    """Per-step host cost of the reference python layers.
+
+    CRF share: the native C++ engine (``native/crf_cpu.cpp``) — the same cost
+    class as the reference's permutohedral C++ at this size (N=1681) and far
+    more representative than a numpy brute force.  Grow share: the
+    pure-python oracle, standing in for the reference's pure-python
+    union-find CC labeling (its actual hot spot).
+    """
     sys.path.insert(0, ".")
     from tests.oracles.crf_oracle import crf_np
     from tests.oracles.grow_oracle import grow_oracle
@@ -107,10 +114,21 @@ def bench_reference_host_step(batch_size: int = 20, n_probe: int = 2):
     e = np.exp(logits - logits.max(-1, keepdims=True))
     probs = e / e.sum(-1, keepdims=True)
 
+    crf_fn = None
+    try:
+        from dsrg_tpu import native
+
+        if native.available() or native.build():
+            crf_fn = lambda: native.crf_cpu(image, probs, maxiter=10, scale_factor=12.0)
+    except Exception:
+        pass
+    if crf_fn is None:
+        crf_fn = lambda: crf_np(image, probs, maxiter=10, scale_factor=12.0)
+
     crf_times = []
     for _ in range(n_probe):
         t0 = time.perf_counter()
-        crf_np(image, probs, maxiter=10, scale_factor=12.0)
+        crf_fn()
         crf_times.append(time.perf_counter() - t0)
     crf_t = min(crf_times)  # min: robust to machine-load noise
 
@@ -348,7 +366,7 @@ def main():
                 "detail": {
                     "tpu_step_ms": round(tpu_dt * 1000, 1),
                     "reference_host_only_step_ms": round(ref_dt * 1000, 1),
-                    "baseline_note": "reference baseline excludes Caffe GPU conv time (host python layers only) - conservative",
+                    "baseline_note": "reference baseline = native C++ CRF (permutohedral cost class) + pure-python region growing, excluding Caffe GPU conv time - conservative",
                 },
             }
         )
