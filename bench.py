@@ -49,7 +49,10 @@ def bench_tpu_step(batch_size: int = 20, crop: int = 321, iters: int = 10, warmu
     from dsrg_tpu.models import DeepLabLargeFOV
     from dsrg_tpu.train.stage1 import init_stage1, make_stage1_step
 
-    cfg = Stage1Config(batch_size=batch_size, crop_size=crop, compute_dtype="bfloat16")
+    cfg = Stage1Config(
+        batch_size=batch_size, crop_size=crop, compute_dtype="bfloat16",
+        crf_fast=True,  # explicit perf opt-in (default is reference-parity fp32)
+    )
     model = DeepLabLargeFOV(num_classes=cfg.num_classes, compute_dtype=jnp.bfloat16)
     state, tx, _ = init_stage1(model, cfg)
     step = jax.jit(make_stage1_step(model, cfg, tx), donate_argnums=(0,))
@@ -96,11 +99,15 @@ def _grow_one(args):
 def bench_reference_host_step(batch_size: int = 20, n_probe: int = 3):
     """Per-step host cost of the reference python layers.
 
-    CRF share: the native C++ engine (``native/crf_cpu.cpp``) — the same cost
-    class as the reference's permutohedral C++ at this size (N=1681) and far
-    more representative than a numpy brute force.  Grow share: the
-    pure-python oracle, standing in for the reference's pure-python
-    union-find CC labeling (its actual hot spot).
+    CRF share: a faithful permutohedral-lattice C++ engine
+    (``native/permutohedral_cpu.cpp``) — the SAME O(N*(d+1)) splat/blur/slice
+    algorithm as the reference's ``CRF/src/permutohedral.cpp``, implemented
+    from the published Adams et al. 2010 method.  Ours is auto-vectorized
+    scalar; the reference's hand-SSE path could be up to ~4x faster, which
+    would shrink the true ratio — so the detail field also reports an
+    sse-adjusted (x4 CRF cost reduction) lower bound on vs_baseline.  Grow
+    share: the pure-python oracle, standing in for the reference's
+    pure-python union-find CC labeling (its actual hot spot).
     """
     sys.path.insert(0, ".")
     from tests.oracles.crf_oracle import crf_np
@@ -119,7 +126,9 @@ def bench_reference_host_step(batch_size: int = 20, n_probe: int = 3):
         from dsrg_tpu import native
 
         if native.available() or native.build():
-            crf_fn = lambda: native.crf_cpu(image, probs, maxiter=10, scale_factor=12.0)
+            crf_fn = lambda: native.crf_permutohedral(
+                image, probs, maxiter=10, scale_factor=12.0
+            )
     except Exception:
         pass
     if crf_fn is None:
@@ -146,7 +155,13 @@ def bench_reference_host_step(batch_size: int = 20, n_probe: int = 3):
     ncpu = multiprocessing.cpu_count()
     # reference: 2 x batch serial CRF runs + batch growings in a Pool
     step_time = 2 * batch_size * crf_t + batch_size * grow_t / max(ncpu, 1)
-    return batch_size / step_time, step_time
+    # lower bound: assume the reference's SSE permutohedral is 4x our scalar
+    step_time_sse = 2 * batch_size * (crf_t / 4.0) + batch_size * grow_t / max(ncpu, 1)
+    return batch_size / step_time, step_time, {
+        "crf_ms_per_image_permutohedral_scalar": round(crf_t * 1000, 2),
+        "grow_ms_per_image_python": round(grow_t * 1000, 2),
+        "host_step_ms_sse_adjusted": round(step_time_sse * 1000, 1),
+    }
 
 
 def _dispatch_latency() -> float:
@@ -171,20 +186,28 @@ def _dispatch_latency() -> float:
 
 
 def bench_crf_single(size: int = 321, m: int = 21, iters: int = 20):
-    """Config 1: single-image dense-CRF refinement at full resolution."""
+    """Config 1: single-image dense-CRF refinement at full resolution.
+
+    Device path: the matmul bilateral grid (``ops/crf/mmgrid.py``).  Baseline:
+    the faithful permutohedral CPU engine at the SAME full resolution (the
+    reference's host engine role, same O(N(d+1)) algorithm) — no cost-class
+    substitution or size extrapolation.
+    """
     import jax
     import jax.numpy as jnp
 
     sys.path.insert(0, ".")
     _enable_compile_cache()
-    from dsrg_tpu.ops.crf.lattice import mean_field_lattice
+    from dsrg_tpu.ops.crf.mmgrid import mean_field_mmgrid
 
     rng = np.random.default_rng(0)
-    image = jnp.asarray(rng.integers(0, 256, size=(size, size, 3)).astype(np.float32))
+    image_np = rng.integers(0, 256, size=(size, size, 3)).astype(np.float32)
+    image = jnp.asarray(image_np)
     probs = rng.dirichlet(np.ones(m), size=size * size).astype(np.float32)
-    logp = jnp.asarray(np.log(probs.reshape(size, size, m)))
+    probs_np = probs.reshape(size, size, m)
+    logp = jnp.asarray(np.log(probs_np))
     # reduce on device: the tunnel transfers ~8 MB otherwise, swamping compute
-    fn = jax.jit(lambda im, u: mean_field_lattice(u, im, n_iters=10).mean())
+    fn = jax.jit(lambda im, u: mean_field_mmgrid(u, im, n_iters=10).mean())
     float(fn(image, logp))  # compile
     lat = _dispatch_latency()
     t0 = time.perf_counter()
@@ -193,17 +216,17 @@ def bench_crf_single(size: int = 321, m: int = 21, iters: int = 20):
     dt = max((time.perf_counter() - t0) / iters - lat, 1e-6)
 
     base_dt = None
-    try:  # native CPU engine baseline (the reference's host-CRF role)
+    try:  # faithful permutohedral CPU engine at full resolution
         from dsrg_tpu import native
 
         if native.available() or native.build():
-            small = 81  # N^2 CPU engine: probe a smaller size, scale by N^2
-            img_s = image[:small, :small]
-            lp_s = logp[:small, :small]
-            native.crf_cpu(img_s, lp_s, maxiter=10, scale_factor=1.0)
-            t0 = time.perf_counter()
-            native.crf_cpu(img_s, lp_s, maxiter=10, scale_factor=1.0)
-            base_dt = (time.perf_counter() - t0) * (size / small) ** 4
+            native.crf_permutohedral(image_np, np.log(probs_np), maxiter=10)
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                native.crf_permutohedral(image_np, np.log(probs_np), maxiter=10)
+                times.append(time.perf_counter() - t0)
+            base_dt = min(times)
     except Exception:
         pass
     return 1.0 / dt, dt, base_dt
@@ -334,7 +357,8 @@ def main():
                           "value": round(ips, 2), "unit": "images/sec",
                           "vs_baseline": round(base_dt / dt, 2) if base_dt else None,
                           "detail": {"ms_per_image": round(dt * 1000, 1),
-                                     "bruteforce_cpu_ms_est": round(base_dt * 1000, 1) if base_dt else None}}))
+                                     "permutohedral_cpu_ms": round(base_dt * 1000, 1) if base_dt else None,
+                                     "baseline_note": "baseline = faithful scalar permutohedral C++ engine at the same 321x321x21, 10 iters"}}))
         return
     if args.config == 2:
         ips, dt, base_dt = bench_grow_only()
@@ -355,7 +379,8 @@ def main():
 
     batch = 20
     tpu_ips, tpu_dt = bench_tpu_step(batch_size=batch)
-    ref_ips, ref_dt = bench_reference_host_step(batch_size=batch)
+    ref_ips, ref_dt, ref_detail = bench_reference_host_step(batch_size=batch)
+    sse_step_s = ref_detail["host_step_ms_sse_adjusted"] / 1000.0
     print(
         json.dumps(
             {
@@ -366,7 +391,17 @@ def main():
                 "detail": {
                     "tpu_step_ms": round(tpu_dt * 1000, 1),
                     "reference_host_only_step_ms": round(ref_dt * 1000, 1),
-                    "baseline_note": "reference baseline = native C++ CRF (permutohedral cost class) + pure-python region growing, excluding Caffe GPU conv time - conservative",
+                    "vs_baseline_sse_adjusted_lower_bound": round(
+                        tpu_ips / (batch / sse_step_s), 2
+                    ),
+                    **ref_detail,
+                    "baseline_note": (
+                        "reference baseline = faithful scalar permutohedral C++ CRF "
+                        "(same O(N(d+1)) algorithm as CRF/src/permutohedral.cpp) x2 per "
+                        "image + pure-python region growing in a cpu-wide pool, "
+                        "excluding Caffe GPU conv time; sse_adjusted assumes the "
+                        "reference's SSE path is 4x our scalar build"
+                    ),
                 },
             }
         )

@@ -24,7 +24,8 @@ class Stage1Config:
     th2: float = 0.85
     crf_scale_factor: float = 12.0   # pylayers.py:82,335
     crf_iters: int = 10
-    crf_fast: bool = True            # bf16 kernel matmuls (see mean_field_exact)
+    crf_fast: bool = False           # bf16 CRF kernel matmuls; False = reference
+                                     # fp32 mean field (bench/recipes opt in)
     fast_dropout_rng: bool = True    # hardware RngBitGenerator for dropout masks
     mirror: bool = True              # AnnotationLayer param_str
 

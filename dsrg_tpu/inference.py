@@ -7,11 +7,12 @@ softmax + probability floor 1e-5; optionally smooth with
 ``CRF(im, log(probs), scale_factor=1.0)``; argmax.
 
 TPU-shape note: the reference runs the fully-convolutional net at every
-image's exact size, which on TPU would recompile per shape.  By default we
-zero-pad the (mean-subtracted) input up to a shape bucket and crop the score
-map back — mean-pixel context beyond the true border instead of the conv
-zero-padding, a border-only perturbation.  Pass ``bucket=1`` for exact
-per-shape compilation.
+image's exact size, so ``bucket=1`` (the default — exact per-shape
+compilation, reference-parity eval numbers) matches it bit-for-bit.  Passing
+``bucket>1`` zero-pads the (mean-subtracted) input up to a shape bucket and
+crops the score map back — one compile per bucket instead of per shape, at
+the cost of mean-pixel context beyond the true border (a border-only score
+perturbation).  Throughput opt-in only.
 """
 
 from __future__ import annotations
@@ -30,20 +31,20 @@ EPS = 1e-5  # probability floor (test-ms.py:102-103)
 
 
 @jax.jit
-def _masked_lattice_crf(image, unary, mask):
-    """Masked compact-lattice CRF on a padded canvas (sf 1.0, 10 iters).
+def _masked_canvas_crf(image, unary, mask):
+    """Masked matmul-grid CRF on a padded canvas (sf 1.0, 10 iters).
 
     Called per image but jitted once per canvas shape: padding every chunk
-    member to a shared bucketed canvas avoids a recompile per image shape
-    (vmapping instead is a net loss — the plan's sorts scale superlinearly
-    under vmap)."""
-    from dsrg_tpu.ops.crf.lattice import mean_field_lattice
+    member to a shared bucketed canvas avoids a recompile per image shape.
+    The masked splat + masked symmetric normalization make the shared canvas
+    exact for each image's valid region."""
+    from dsrg_tpu.ops.crf.mmgrid import mean_field_mmgrid
 
-    return mean_field_lattice(unary, image, n_iters=10, valid_mask=mask)
+    return mean_field_mmgrid(unary, image, n_iters=10, valid_mask=mask)
 
 
 class Predictor:
-    def __init__(self, model, params, num_classes: int = 21, bucket: int = 64):
+    def __init__(self, model, params, num_classes: int = 21, bucket: int = 1):
         self.model = model
         # accept either a bare params tree or a full variables dict
         # ({"params": ..., "batch_stats": ...} for BN backbones)
@@ -199,7 +200,7 @@ class Predictor:
             unary[:h, :w] = np.log(p)
             mask[:h, :w] = 1.0
             q = np.asarray(
-                _masked_lattice_crf(jnp.asarray(img), jnp.asarray(unary), jnp.asarray(mask))
+                _masked_canvas_crf(jnp.asarray(img), jnp.asarray(unary), jnp.asarray(mask))
             )
             out.append(q[:h, :w].argmax(-1).astype(np.uint8))
         return out
@@ -211,16 +212,23 @@ class Predictor:
         scales: Optional[Sequence[float]] = None,
         smooth: bool = True,
         restrict_labels: Optional[np.ndarray] = None,
+        crf_engine: str = "auto",
     ) -> np.ndarray:
         """Full reference predict_mask pipeline -> (H, W) uint8 label mask.
 
         ``restrict_labels``: optional class-index subset (incl. background) to
         restrict the argmax to — the generate_train_gt.py behavior
         (``generate_train_gt.py:98-104``).
+
+        ``crf_engine``: CRF engine for the smoothing pass ("auto" picks exact
+        below ~8k pixels, the compact lattice above; pass "exact" for
+        parity runs where the N^2 engine must be used at any size).
         """
         probs = self.predict_probs(image_rgb, sizes=sizes, scales=scales)
         if smooth:
-            probs = np.asarray(CRF(image_rgb, np.log(probs), scale_factor=1.0))
+            probs = np.asarray(
+                CRF(image_rgb, np.log(probs), scale_factor=1.0, engine=crf_engine)
+            )
         if restrict_labels is not None:
             sel = probs[:, :, restrict_labels]
             return np.asarray(restrict_labels)[sel.argmax(-1)].astype(np.uint8)

@@ -51,6 +51,13 @@ def _load() -> ctypes.CDLL:
             fp, fp, fp, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_float, ctypes.c_float, fp,
         ]
+        lib.dsrg_permutohedral_filter.argtypes = [
+            fp, fp, ctypes.c_int, ctypes.c_int, ctypes.c_int, fp,
+        ]
+        lib.dsrg_crf_permutohedral.argtypes = [
+            fp, fp, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.c_float, fp,
+        ]
         _lib = lib
     return _lib
 
@@ -65,6 +72,35 @@ def crf_cpu(image: np.ndarray, unary: np.ndarray, maxiter: int = 10,
     out = np.empty(h * w * m, np.float32)
     lib.dsrg_crf_reference(img, un, h, w, m, maxiter,
                            np.float32(scale_factor), np.float32(color_factor), out)
+    return out.reshape(h, w, m)
+
+
+def permutohedral_filter(feats: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """O(N*(d+1)) lattice Gaussian filter: (N, d) feats, (N, c) values -> (N, c)."""
+    lib = _load()
+    n, d = feats.shape
+    c = values.shape[1]
+    f = np.ascontiguousarray(feats, np.float32)
+    v = np.ascontiguousarray(values, np.float32)
+    out = np.empty((n, c), np.float32)
+    lib.dsrg_permutohedral_filter(f, v, n, d, c, out)
+    return out
+
+
+def crf_permutohedral(image: np.ndarray, unary: np.ndarray, maxiter: int = 10,
+                      scale_factor: float = 1.0, color_factor: float = 13.0) -> np.ndarray:
+    """Permutohedral-lattice CPU CRF — the faithful reference-host baseline.
+
+    Same (H, W, M) surface as :func:`crf_cpu`, but O(N) splat/blur/slice like
+    the reference's ``CRF/src/permutohedral.cpp`` instead of exact N^2 kernels.
+    """
+    lib = _load()
+    h, w, m = unary.shape
+    img = np.ascontiguousarray(image, np.float32).reshape(h * w * 3)
+    un = np.ascontiguousarray(unary, np.float32).reshape(h * w * m)
+    out = np.empty(h * w * m, np.float32)
+    lib.dsrg_crf_permutohedral(img, un, h, w, m, maxiter,
+                               np.float32(scale_factor), np.float32(color_factor), out)
     return out.reshape(h, w, m)
 
 

@@ -15,12 +15,16 @@
 
 from __future__ import annotations
 
+import logging
 from functools import partial
 from typing import List
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_log = logging.getLogger("dsrg_tpu.crf")
+_logged_engines: set = set()
 
 from dsrg_tpu.ops.crf import exact
 from dsrg_tpu.ops.crf.features import bilateral_features, spatial_features
@@ -87,6 +91,19 @@ def _crf_lattice_jit(image, unary, maxiter, scale_factor, color_factor):
     )
 
 
+@partial(jax.jit, static_argnames=("maxiter", "scale_factor", "color_factor"))
+def _crf_mmgrid_jit(image, unary, maxiter, scale_factor, color_factor):
+    from dsrg_tpu.ops.crf.mmgrid import mean_field_mmgrid
+
+    return mean_field_mmgrid(
+        unary.astype(jnp.float32),
+        image,
+        n_iters=maxiter,
+        scale_factor=scale_factor,
+        color_factor=color_factor,
+    )
+
+
 def CRF(
     image,
     unary,
@@ -102,10 +119,11 @@ def CRF(
     the unary cost, so callers pass probabilities or log-probabilities exactly
     as they did with the reference).  Returns (H, W, M) marginals.
 
-    ``engine``: "exact" (N^2 kernel, bit-accurate), "lattice" (compact sparse
-    lattice, permutohedral-style truncation — the fast large-image default),
-    "grid" (dense bilateral grid), or "auto" (exact up to
-    ``EXACT_MAX_PIXELS`` pixels, lattice beyond).
+    ``engine``: "exact" (N^2 kernel, bit-accurate), "mmgrid" (matmul
+    bilateral grid — the fast large-image default, 99.9%+ argmax agreement
+    with exact), "lattice" (compact sparse lattice, permutohedral-style
+    truncation), "grid" (dense bilateral grid), or "auto" (exact up to
+    ``EXACT_MAX_PIXELS`` pixels, mmgrid beyond).
     """
     if engine == "native":
         # host-side OpenMP engine (native/crf_cpu.cpp) — no accelerator needed
@@ -123,10 +141,27 @@ def CRF(
     assert image.shape[:2] == unary.shape[:2]
     n = image.shape[0] * image.shape[1]
     if engine == "exact" or (engine == "auto" and n <= EXACT_MAX_PIXELS):
+        resolved = "exact"
+    elif engine in ("grid", "lattice", "mmgrid"):
+        resolved = engine
+    else:
+        resolved = "mmgrid"
+    if engine == "auto" and (resolved, image.shape[:2]) not in _logged_engines:
+        # auto silently switching to an approximate engine can shift eval
+        # numbers (~99.95% argmax parity) — make the choice visible once per
+        # geometry so parity runs know to pass engine="exact".
+        _logged_engines.add((resolved, image.shape[:2]))
+        _log.info(
+            "CRF engine=auto resolved to '%s' for %dx%d (%d px; exact<=%d px)",
+            resolved, image.shape[0], image.shape[1], n, EXACT_MAX_PIXELS,
+        )
+    if resolved == "exact":
         return _crf_core_jit(image, unary, maxiter, float(scale_factor), float(color_factor))
-    if engine == "grid":
+    if resolved == "grid":
         return _crf_grid_jit(image, unary, maxiter, float(scale_factor), float(color_factor))
-    return _crf_lattice_jit(image, unary, maxiter, float(scale_factor), float(color_factor))
+    if resolved == "lattice":
+        return _crf_lattice_jit(image, unary, maxiter, float(scale_factor), float(color_factor))
+    return _crf_mmgrid_jit(image, unary, maxiter, float(scale_factor), float(color_factor))
 
 
 # ---------------------------------------------------------------------------

@@ -49,13 +49,27 @@ def separable_gaussian_filter(x: jnp.ndarray, sigma: float, truncate: float = 4.
     """Unnormalized Gaussian filter K @ x over the (H, W) plane of (H, W, C).
 
     Matches the exact engine's spatial kernel exp(-0.5 ||dp/sigma||^2)
-    (including the self term) up to the truncation radius.
+    (including the self term) up to the truncation radius.  Implemented as
+    shift-adds (pad + static slices): exact fp32 accumulation without the
+    dense HIGHEST-precision matmuls of the banded-matrix form, and the
+    shifts fuse into a single pass per axis under XLA.
     """
-    h, w, _ = x.shape
-    bh = jnp.asarray(_axis_blur_matrix(h, sigma, truncate))
-    bw = jnp.asarray(_axis_blur_matrix(w, sigma, truncate))
-    y = jnp.einsum("ij,jwc->iwc", bh, x, precision=_HIGH)
-    return jnp.einsum("ij,hjc->hic", bw, y, precision=_HIGH)
+    r = max(int(math.ceil(truncate * sigma)), 1)
+    taps = np.exp(-0.5 * (np.arange(-r, r + 1) / sigma) ** 2).astype(np.float32)
+
+    def axis_pass(v, axis):
+        d = v.shape[axis]
+        pad = [(0, 0)] * v.ndim
+        pad[axis] = (r, r)
+        p = jnp.pad(v, pad)
+        out = taps[r] * v
+        for k in range(1, r + 1):
+            hi = jax.lax.slice_in_dim(p, r + k, r + k + d, axis=axis)
+            lo = jax.lax.slice_in_dim(p, r - k, r - k + d, axis=axis)
+            out = out + taps[r + k] * (hi + lo)
+        return out
+
+    return axis_pass(axis_pass(x, 0), 1)
 
 
 def _grid_geometry(h: int, w: int, sigma_xy: float, sigma_rgb: float, pad: int = 2):

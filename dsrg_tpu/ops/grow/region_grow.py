@@ -119,7 +119,10 @@ def grow_seeds_single(
     )  # highest cue class wins, matching pylayers.py:248-250
 
     fg_hit = jnp.logical_and(maxp > th2, argc != 0)
-    bg_hit = jnp.logical_and(argc == 0, maxp > th1)
+    # Reference (pylayers.py:251-257): background needs value > th2 AND
+    # value > th1 (nested ifs) — both conjuncts kept so callers passing
+    # th1 < th2 match the reference and native/region_grow.cpp exactly.
+    bg_hit = jnp.logical_and(argc == 0, jnp.logical_and(maxp > th1, maxp > th2))
     label_map = jnp.where(fg_hit, argc + 1, cue_label)
     label_map = jnp.where(bg_hit, 1, label_map)
 

@@ -33,10 +33,21 @@ def build_arg_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--model-name", choices=["vgg16", "resnet101"], default="vgg16")
     p.add_argument("--batch", default=8, type=int,
                    help="images per batched forward/CRF chunk (1 = reference-style serial)")
+    p.add_argument("--bucket", default=1, type=int,
+                   help="pad inputs up to multiples of this before the forward; "
+                        "1 (default) = exact per-shape forward like the reference, "
+                        ">1 = fewer recompiles at a small border-score perturbation")
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "exact", "mmgrid", "lattice", "grid", "native"],
+                   help="CRF engine for --smooth (auto = exact below ~8k px, "
+                        "matmul grid above; exact = parity at any size). "
+                        "Engines other than auto/mmgrid force --batch 1.")
     return p
 
 
-def load_predictor(model_path: str, num_classes: int, model_name: str = "vgg16") -> Predictor:
+def load_predictor(
+    model_path: str, num_classes: int, model_name: str = "vgg16", bucket: int = 1
+) -> Predictor:
     if model_name == "resnet101":
         from dsrg_tpu.models import ResNet101DeepLab
 
@@ -44,7 +55,7 @@ def load_predictor(model_path: str, num_classes: int, model_name: str = "vgg16")
     else:
         model = DeepLabLargeFOV(num_classes=num_classes)
     params = load_params(model_path)
-    return Predictor(model, params, num_classes=num_classes)
+    return Predictor(model, params, num_classes=num_classes, bucket=bucket)
 
 
 def run_inference(
@@ -52,12 +63,18 @@ def run_inference(
     sizes: Optional[Sequence[int]] = None,
     scales: Optional[Sequence[float]] = None,
 ) -> None:
-    predictor = load_predictor(args.model, args.num_classes, getattr(args, "model_name", "vgg16"))
+    predictor = load_predictor(
+        args.model, args.num_classes, getattr(args, "model_name", "vgg16"),
+        bucket=int(getattr(args, "bucket", 1)),
+    )
     image_ids = [ln.strip() for ln in open(args.image_list) if ln.strip()]
     data_dir = osp.join(args.data_dir, "JPEGImages")
     if args.output_dir and not osp.isdir(args.output_dir):
         os.makedirs(args.output_dir)
+    engine = getattr(args, "engine", "auto")
     chunk = max(int(getattr(args, "batch", 1)), 1)
+    if engine not in ("auto", "mmgrid"):
+        chunk = 1  # the batched CRF path is the masked matmul grid
     for start in range(0, len(image_ids), chunk):
         ids = image_ids[start : start + chunk]
         print(start, " ".join(ids), flush=True)
@@ -67,7 +84,10 @@ def run_inference(
         ]
         if chunk == 1:
             masks = [
-                predictor.predict_mask(images[0], sizes=sizes, scales=scales, smooth=args.smooth)
+                predictor.predict_mask(
+                    images[0], sizes=sizes, scales=scales, smooth=args.smooth,
+                    crf_engine=engine,
+                )
             ]
         else:
             masks = predictor.predict_masks(images, sizes=sizes, scales=scales, smooth=args.smooth)

@@ -54,6 +54,9 @@ def parse_args(argv=None):
     p.add_argument("--num-classes", type=int, default=21)
     p.add_argument("--display", type=int, default=10)
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--crf-fast", action="store_true",
+                   help="bf16 CRF kernel matmuls in the stage-s step (throughput "
+                        "opt-in; default is the reference's fp32 mean field)")
     p.add_argument("--no-mesh", action="store_true", help="force single-device")
     p.add_argument("--auto-resume", action="store_true",
                    help="resume from the latest snapshot in --snapshot-dir if present")
@@ -85,6 +88,8 @@ def _override(cfg, args):
         changes["snapshot_every"] = args.snapshot_every
     changes["num_classes"] = args.num_classes
     changes["compute_dtype"] = args.dtype
+    if getattr(args, "crf_fast", False) and hasattr(cfg, "crf_fast"):
+        changes["crf_fast"] = True
     return dataclasses.replace(cfg, **changes)
 
 

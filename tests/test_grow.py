@@ -70,6 +70,22 @@ def test_grow_is_superset_of_cues_on_present_classes():
     assert np.all(ours >= cues)
 
 
+def test_grow_inverted_thresholds_th1_below_th2():
+    """th1 < th2: the reference's nested ifs (pylayers.py:251-257) require a
+    background pixel to clear BOTH thresholds; with th1=0.2 < th2=0.6 a pixel
+    with bg confidence in (0.2, 0.6] must NOT become a background candidate.
+    Regression for the dropped th2 conjunct (ADVICE r1)."""
+    rng = np.random.default_rng(30)
+    labels, cues, probs = _random_grow_case(rng, m=6, h=21, w=21, cue_frac=0.08)
+    ours = np.asarray(
+        dsrg_grow(labels[None], cues[None], probs[None], th1=0.2, th2=0.6)
+    )[0]
+    ref = grow_oracle(
+        labels, cues.transpose(2, 0, 1), probs.transpose(2, 0, 1), th1=0.2, th2=0.6
+    )
+    np.testing.assert_array_equal(ours.transpose(2, 0, 1), ref)
+
+
 @pytest.mark.parametrize("seed", [20, 21, 22])
 def test_grow_with_overlapping_multiclass_cues(seed):
     """Stresses the barrier rule's branches: pixels cued by exactly one OTHER
