@@ -164,25 +164,32 @@ def bench_reference_host_step(batch_size: int = 20, n_probe: int = 3):
     }
 
 
-def _dispatch_latency() -> float:
-    """Median host->device->host round trip for a trivial jitted op.
+def _device_ms(make_body, reps: int = 20, outer: int = 3) -> float:
+    """Per-op device time via an in-jit fori_loop of ``reps`` dependent calls.
 
-    Under the remote-TPU tunnel this is tens of ms; standalone micro-bench
-    numbers subtract it so they report device time, matching what the fused
-    train step observes.
+    The remote-TPU tunnel adds tens of ms of dispatch latency per jit call;
+    subtracting a separately-measured latency (the round-1 method) is
+    numerically fragile and produced garbage for sub-10ms ops.  Running the
+    op ``reps`` times inside ONE jit (each iteration data-dependent on the
+    last so XLA cannot overlap or DCE them) amortizes the dispatch to
+    noise.  ``make_body(acc)`` returns a scalar that depends on the op.
     """
     import jax
-    import jax.numpy as jnp
 
-    f = jax.jit(lambda x: x + 1.0)
-    x = jnp.zeros((8, 128), jnp.float32)
-    np.asarray(f(x))
+    def loop():
+        def body(_, acc):
+            return make_body(acc)
+
+        return jax.lax.fori_loop(0, reps, body, 0.0)
+
+    f = jax.jit(loop)
+    float(f())
     times = []
-    for _ in range(7):
+    for _ in range(outer):
         t0 = time.perf_counter()
-        np.asarray(f(x))
+        float(f())
         times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+    return min(times) / reps * 1000.0
 
 
 def bench_crf_single(size: int = 321, m: int = 21, iters: int = 20):
@@ -206,14 +213,10 @@ def bench_crf_single(size: int = 321, m: int = 21, iters: int = 20):
     probs = rng.dirichlet(np.ones(m), size=size * size).astype(np.float32)
     probs_np = probs.reshape(size, size, m)
     logp = jnp.asarray(np.log(probs_np))
-    # reduce on device: the tunnel transfers ~8 MB otherwise, swamping compute
-    fn = jax.jit(lambda im, u: mean_field_mmgrid(u, im, n_iters=10).mean())
-    float(fn(image, logp))  # compile
-    lat = _dispatch_latency()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = float(fn(image, logp))
-    dt = max((time.perf_counter() - t0) / iters - lat, 1e-6)
+    dt = _device_ms(
+        lambda acc: mean_field_mmgrid(logp + acc * 0, image, n_iters=10).mean(),
+        reps=8,
+    ) / 1000.0
 
     base_dt = None
     try:  # faithful permutohedral CPU engine at full resolution
@@ -249,14 +252,8 @@ def bench_grow_only(batch_size: int = 20, iters: int = 20):
         labels[i, rng.integers(1, m, 2)] = 1
     cues = (rng.uniform(size=(b, h, h, m)) < 0.02).astype(np.float32) * labels[:, None, None, :]
     probs = rng.dirichlet(np.ones(m), size=(b, h, h)).astype(np.float32)
-    grow = jax.jit(lambda l, c, p: dsrg_grow(l, c, p).sum())
-    args = (jnp.asarray(labels), jnp.asarray(cues), jnp.asarray(probs))
-    float(grow(*args))
-    lat = _dispatch_latency()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = float(grow(*args))
-    dt = max((time.perf_counter() - t0) / iters - lat, 1e-6)
+    jl, jc, jp = jnp.asarray(labels), jnp.asarray(cues), jnp.asarray(probs)
+    dt = _device_ms(lambda acc: dsrg_grow(jl, jc, jp + acc * 0).sum() * 1e-9, reps=20) / 1000.0
 
     base_dt = None
     try:  # native CPU BFS grower as the host-side baseline
@@ -289,18 +286,15 @@ def bench_inference(batch_size: int = 8, iters: int = 10, model_name: str = "vgg
     x = jnp.asarray(rng.normal(size=(batch_size, 321, 321, 3)).astype(np.float32) * 40)
     if model_name == "vgg":
         model = DeepLabLargeFOV(num_classes=21, compute_dtype=jnp.bfloat16)
-        variables = model.init({"params": jax.random.PRNGKey(0)}, x[:1], train=False)
-        fwd = jax.jit(lambda v, xx: model.apply(v, xx, train=False).mean())
     else:
         model = ResNet101DeepLab(num_classes=21, compute_dtype=jnp.bfloat16)
-        variables = model.init({"params": jax.random.PRNGKey(0)}, x[:1], train=False)
-        fwd = jax.jit(lambda v, xx: model.apply(v, xx, train=False).mean())
-    float(fwd(variables, x))
-    lat = _dispatch_latency()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = float(fwd(variables, x))
-    dt = max((time.perf_counter() - t0) / iters - lat, 1e-6)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x[:1], train=False)
+    dt = _device_ms(
+        lambda acc: model.apply(
+            variables, x + acc.astype(x.dtype) * 0, train=False
+        ).astype(jnp.float32).mean(),
+        reps=10,
+    ) / 1000.0
     return batch_size / dt, dt
 
 
