@@ -3,5 +3,6 @@ from dsrg_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     replicated_sharding,
     shard_batch,
+    shard_global_batch,
     data_parallel_step,
 )

@@ -42,6 +42,24 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = DATA_AXIS) -> dict:
     }
 
 
+def shard_global_batch(local_batch: dict, mesh: Mesh, axis: str = DATA_AXIS) -> dict:
+    """Assemble a globally-sharded batch from each process's LOCAL shard.
+
+    Multi-host path: every process passes only its own slice of the global
+    batch (see ``distributed.local_batch_slice``); the returned arrays are
+    global jax.Arrays sharded over ``axis`` across all processes.  Falls back
+    to a plain device_put in single-process jobs.
+    """
+    out = {}
+    for k, v in local_batch.items():
+        sh = batch_sharding(mesh, np.ndim(v), axis)
+        if jax.process_count() > 1:
+            out[k] = jax.make_array_from_process_local_data(sh, np.asarray(v))
+        else:
+            out[k] = jax.device_put(v, sh)
+    return out
+
+
 def data_parallel_step(step_fn, mesh: Mesh, axis: str = DATA_AXIS, donate_state: bool = True):
     """Wrap a per-shard (state, batch) -> (state, metrics) step with shard_map.
 

@@ -1,0 +1,88 @@
+"""Multi-host path: 2-process jax.distributed over localhost CPU.
+
+Validates ``parallel/distributed.py`` (initialize, slice-contiguous global
+mesh, local_batch_slice) and ``parallel.mesh.shard_global_batch`` end-to-end:
+the stage-1 DP step runs across a 2-process x 4-virtual-device global mesh
+and produces EXACTLY the loss of a single-process 8-device run on the same
+global batch (new capability — the reference is single-process, SURVEY §2.4).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "_distributed_worker.py")
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _single_process_loss() -> float:
+    """Same step/batch on this process's 8-device mesh (conftest)."""
+    import jax
+
+    from dsrg_tpu.config import Stage1Config
+    from dsrg_tpu.models import DeepLabLargeFOV
+    from dsrg_tpu.parallel import data_parallel_step, make_mesh, shard_batch
+    from dsrg_tpu.train.stage1 import init_stage1, make_stage1_step
+
+    cfg = Stage1Config(batch_size=8, crop_size=41, cue_size=6, num_classes=6, crf_iters=2)
+    model = DeepLabLargeFOV(num_classes=cfg.num_classes, head_dilations=(2, 4))
+    state, tx, _ = init_stage1(model, cfg)
+    mesh = make_mesh(jax.devices()[:8])
+    step = data_parallel_step(
+        make_stage1_step(model, cfg, tx, axis_name="data"), mesh, donate_state=False
+    )
+    rng = np.random.default_rng(0)
+    labels = np.zeros((8, cfg.num_classes), np.float32)
+    labels[:, 0] = 1.0
+    labels[:, 2] = 1.0
+    batch = {
+        "images": rng.normal(size=(8, 41, 41, 3)).astype(np.float32) * 30,
+        "labels": labels,
+        "cues": (rng.uniform(size=(8, 6, 6, cfg.num_classes)) < 0.1).astype(np.float32)
+        * labels[:, None, None, :],
+    }
+    _, metrics = step(state, shard_batch(batch, mesh))
+    return float(metrics["loss"])
+
+
+def test_two_process_distributed_step_matches_single_process():
+    port = _free_port()
+    coord = f"localhost:{port}"
+    env = dict(os.environ)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, coord, "2", str(pid)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+            cwd=REPO,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=540)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+
+    losses = []
+    for out in outs:
+        line = [ln for ln in out.splitlines() if ln.startswith("WORKER")][-1]
+        losses.append(float(line.split("loss=")[1]))
+    assert losses[0] == losses[1], losses  # replicated output identical
+
+    ref = _single_process_loss()
+    np.testing.assert_allclose(losses[0], ref, rtol=1e-5)
