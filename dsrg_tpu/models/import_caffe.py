@@ -128,6 +128,100 @@ def load_caffemodel(path: str) -> Dict[str, List[np.ndarray]]:
     return out
 
 
+def _caffe_block_names(n_blocks: int) -> List[str]:
+    """DeepLab-v2 ResNet block suffixes: 3-block stages use a/b/c, longer
+    stages a/b1/b2/... (res3a..res3b3, res4a..res4b22)."""
+    if n_blocks <= 3:
+        return ["abc"[i] for i in range(n_blocks)]
+    return ["a"] + [f"b{i}" for i in range(1, n_blocks)]
+
+
+def resnet_blobs_to_flax(
+    blobs: Dict[str, List[np.ndarray]],
+    variables_template,
+    stage_blocks=(3, 4, 23, 3),
+) -> dict:
+    """Map a DeepLab-v2 ResNet-101 caffemodel onto the flax variables tree.
+
+    Caffe naming (deeplab ResNet prototxts): convs ``conv1`` /
+    ``res{S}{blk}_branch2{a,b,c}`` / ``res{S}{blk}_branch1`` (projection);
+    BatchNorm layers ``bn_conv1`` / ``bn{S}{blk}_branch2{a,b,c}`` with blobs
+    [mean*sf, var*sf, sf]; Scale layers ``scale_conv1`` /
+    ``scale{S}{blk}_...`` with blobs [gamma, beta]; ASPP heads
+    ``fc1_voc12_c0..c3``.  Missing layers keep template values
+    (``net.copy_from`` semantics).  Returns a full variables dict
+    ({"params", "batch_stats"}).
+    """
+    import copy
+
+    params = copy.deepcopy(
+        {k: dict(v) if isinstance(v, dict) else v for k, v in variables_template["params"].items()}
+    )
+    stats = copy.deepcopy(
+        {k: dict(v) if isinstance(v, dict) else v for k, v in variables_template["batch_stats"].items()}
+    )
+
+    def set_conv(flax_mod: dict, caffe_name: str) -> None:
+        if caffe_name not in blobs:
+            return
+        bl = blobs[caffe_name]
+        w = bl[0]
+        if w.ndim == 4:
+            w = w.transpose(2, 3, 1, 0)
+        if "kernel" in flax_mod and w.shape == tuple(np.shape(flax_mod["kernel"])):
+            flax_mod["kernel"] = np.asarray(w, np.float32)
+        else:
+            print(f"import_caffe: resnet {caffe_name} kernel shape mismatch, skipping")
+        if "bias" in flax_mod and len(bl) >= 2:
+            flax_mod["bias"] = np.asarray(bl[1].reshape(-1), np.float32)
+
+    def set_bn(flax_params_mod: dict, flax_stats_mod: dict, bn_name: str, scale_name: str) -> None:
+        if bn_name in blobs:
+            bl = blobs[bn_name]
+            sf = float(bl[2].reshape(-1)[0]) if len(bl) >= 3 else 1.0
+            sf = sf if sf != 0.0 else 1.0
+            flax_stats_mod["mean"] = np.asarray(bl[0].reshape(-1) / sf, np.float32)
+            flax_stats_mod["var"] = np.asarray(bl[1].reshape(-1) / sf, np.float32)
+        if scale_name in blobs:
+            bl = blobs[scale_name]
+            flax_params_mod["scale"] = np.asarray(bl[0].reshape(-1), np.float32)
+            if len(bl) >= 2:
+                flax_params_mod["bias"] = np.asarray(bl[1].reshape(-1), np.float32)
+
+    set_conv(params.get("conv1", {}), "conv1")
+    set_bn(params.get("bn1", {}), stats.get("bn1", {}), "bn_conv1", "scale_conv1")
+
+    branch = {"conv1": "2a", "conv2": "2b", "conv3": "2c", "shortcut": "1"}
+    bn_of = {"bn1": "2a", "bn2": "2b", "bn3": "2c", "shortcut_bn": "1"}
+    for s, n_blocks in enumerate(stage_blocks, start=2):
+        for b, blk in enumerate(_caffe_block_names(n_blocks)):
+            mod = f"res{s}_{b}"
+            if mod not in params:
+                continue
+            pmod = params[mod] = dict(params[mod])
+            smod = stats.get(mod, {})
+            for conv_name, br in branch.items():
+                if conv_name in pmod:
+                    pmod[conv_name] = dict(pmod[conv_name])
+                    set_conv(pmod[conv_name], f"res{s}{blk}_branch{br}")
+            for bn_name, br in bn_of.items():
+                if bn_name in pmod:
+                    pmod[bn_name] = dict(pmod[bn_name])
+                    sm = dict(smod.get(bn_name, {}))
+                    set_bn(pmod[bn_name], sm, f"bn{s}{blk}_branch{br}", f"scale{s}{blk}_branch{br}")
+                    if sm:
+                        smod = dict(smod)
+                        smod[bn_name] = sm
+            stats[mod] = smod
+
+    for name in list(params):
+        if name.startswith("fc1_voc12_c"):
+            params[name] = dict(params[name])
+            set_conv(params[name], name)
+
+    return {"params": params, "batch_stats": stats}
+
+
 def caffe_blobs_to_flax(blobs: Dict[str, List[np.ndarray]], params_template) -> dict:
     """Map caffe layer blobs onto a flax params tree by layer name.
 

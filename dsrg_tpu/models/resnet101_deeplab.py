@@ -110,8 +110,10 @@ class ResNet101DeepLab(nn.Module):
                     name=f"res{s}_{b}",
                 )(x, train_bn=train_bn)
 
+        # head names follow the DeepLab-v2 ResNet prototxt (fc1_voc12_c0..c3)
+        # so the caffemodel importer maps them directly
         scores = None
-        for k, dil in enumerate(self.head_dilations, start=1):
+        for k, dil in enumerate(self.head_dilations):
             h = nn.Conv(
                 self.num_classes, (3, 3), padding=dil, kernel_dilation=(dil, dil),
                 kernel_init=nn.initializers.normal(stddev=0.01),

@@ -143,10 +143,21 @@ def main(argv=None) -> None:
 
     if args.weights:
         if args.weights.endswith(".caffemodel"):
-            from dsrg_tpu.models.import_caffe import caffe_blobs_to_flax, load_caffemodel
+            from dsrg_tpu.models.import_caffe import (
+                caffe_blobs_to_flax,
+                load_caffemodel,
+                resnet_blobs_to_flax,
+            )
 
             blobs = load_caffemodel(args.weights)
-            state = state.replace(params=caffe_blobs_to_flax(blobs, state.params))
+            if args.model_name == "resnet101":
+                variables = resnet_blobs_to_flax(
+                    blobs, {"params": state.params, **extra_vars}
+                )
+                state = state.replace(params=variables["params"])
+                extra_vars = {"batch_stats": variables["batch_stats"]}
+            else:
+                state = state.replace(params=caffe_blobs_to_flax(blobs, state.params))
         else:
             source = ckpt.load_params(args.weights)
             if isinstance(source, dict) and "params" in source:
