@@ -60,6 +60,9 @@ def parse_args(argv=None):
     p.add_argument("--no-mesh", action="store_true", help="force single-device")
     p.add_argument("--auto-resume", action="store_true",
                    help="resume from the latest snapshot in --snapshot-dir if present")
+    p.add_argument("--sync-snapshots", action="store_true",
+                   help="write snapshots synchronously (default: async orbax "
+                        "writes that do not stall the train loop)")
     # in-training validation (the reference has none; SegAccuracy-equivalent+)
     p.add_argument("--val-every", type=int, default=0, help="validate every N iters (0 = off)")
     p.add_argument("--val-ids", default=None, help="validation id list")
@@ -215,6 +218,9 @@ def main(argv=None) -> None:
     start_iter = int(state.step)
     profiler_ctx = None
     pending = []
+    writer = (
+        ckpt.AsyncCheckpointWriter() if not args.sync_snapshots else None
+    )
     for it in range(start_iter, cfg.max_iter):
         if args.profile_dir and it == start_iter + 10:
             profiler_ctx = trace(args.profile_dir)
@@ -244,14 +250,20 @@ def main(argv=None) -> None:
             logger.log(it + 1, {"val_miou": miou})
             print(f"iter {it + 1}: val mIoU = {miou:.4f}", flush=True)
         if (it + 1) % cfg.snapshot_every == 0 or (it + 1) == cfg.max_iter:
-            path = ckpt.save_checkpoint(args.snapshot_dir, state, it + 1)
-            if extra_vars:
-                ckpt.save_params(path + "_params", {"params": state.params, **extra_vars})
+            to_save = (
+                {"params": state.params, **extra_vars} if extra_vars else state.params
+            )
+            if writer is not None:  # async: returns immediately, writes in bg
+                path = writer.save(args.snapshot_dir, state, it + 1)
+                writer.save_params(path + "_params", to_save)
             else:
-                ckpt.save_params(path + "_params", state.params)
+                path = ckpt.save_checkpoint(args.snapshot_dir, state, it + 1)
+                ckpt.save_params(path + "_params", to_save)
             print("snapshot ->", path, flush=True)
     for itn, md in pending:  # flush any tail metrics
         logger.log(itn, {k: float(v) for k, v in md.items()})
+    if writer is not None:
+        writer.close()  # drain the in-flight snapshot before exit
     loader.close()
     logger.close()
 

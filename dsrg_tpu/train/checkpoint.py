@@ -34,6 +34,41 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, step: int) -> str:
     return path
 
 
+class AsyncCheckpointWriter:
+    """Non-blocking snapshot writes for long runs (VERDICT r1 item 9).
+
+    The reference's solver blocks while Caffe serializes a snapshot
+    (``solver-s.prototxt:16-17``); at the 8k/20k-iteration recipe scale a
+    synchronous orbax write stalls the device pipeline for seconds.  This
+    writer snapshots the arrays and returns immediately; serialization
+    happens on orbax's background thread.  ``save`` waits for the PREVIOUS
+    write first (at most one outstanding snapshot), and ``close`` drains.
+    The synchronous :func:`save_checkpoint` stays for tests and scripts that
+    need the file on return.
+    """
+
+    def __init__(self):
+        self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+
+    def save(self, ckpt_dir: str, state: TrainState, step: int) -> str:
+        self._ckptr.wait_until_finished()
+        path = os.path.join(_abs(ckpt_dir), f"step_{step}")
+        self._ckptr.save(path, args=ocp.args.StandardSave(state))
+        return path
+
+    def save_params(self, path: str, params: Any) -> str:
+        self._ckptr.wait_until_finished()
+        self._ckptr.save(_abs(path), args=ocp.args.StandardSave(params))
+        return path
+
+    def wait(self) -> None:
+        self._ckptr.wait_until_finished()
+
+    def close(self) -> None:
+        self._ckptr.wait_until_finished()
+        self._ckptr.close()
+
+
 def restore_checkpoint(path: str, template: TrainState) -> TrainState:
     with ocp.StandardCheckpointer() as ckptr:
         return ckptr.restore(_abs(path), template)
