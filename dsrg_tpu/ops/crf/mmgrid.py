@@ -101,7 +101,9 @@ class MMGridPlan:
         sigma_xy: float,
         sigma_rgb: float,
         spatial_exact: bool = False,
+        use_pallas: bool = True,
     ):
+        self.use_pallas = use_pallas
         h, w, _ = guide.shape
         self.h, self.w = h, w
         s = max(int(round(sigma_xy)), 1)  # spatial cell size in pixels
@@ -171,7 +173,7 @@ class MMGridPlan:
             for r in range(gc):
                 expand[r, r * c : (r + 1) * c] = 1.0
             wr_exp = jnp.einsum("tpr,rq->tpq", self.wr, jnp.asarray(expand))
-            self._mats_cache[c] = (tile_mat, sum_mat, wr_exp)
+            self._mats_cache[c] = (tile_mat, sum_mat, wr_exp, wr_exp.astype(_BF16))
         return self._mats_cache[c]
 
     def _tile(self, arr: jnp.ndarray) -> jnp.ndarray:
@@ -191,22 +193,23 @@ class MMGridPlan:
     def _splat_u(self, values: jnp.ndarray) -> jnp.ndarray:
         """(H, W, C) -> (T, px, gc*C) bf16 splat operand u[p, r*C+c] = wr*v."""
         c = values.shape[-1]
-        tile_mat, _, wr_exp = self._mats(c)
+        tile_mat, _, wr_exp, _ = self._mats(c)
         v = self._tile(self.pad(values))  # (T, px, C)
         return (jnp.einsum("tpc,cq->tpq", v, tile_mat) * wr_exp).astype(_BF16)
 
     def _rcontract(self, tt: jnp.ndarray, c: int) -> jnp.ndarray:
         """(T, px, gc*C) fp32 -> (T, px, C): weight by wr, sum over r bins."""
-        _, sum_mat, wr_exp = self._mats(c)
+        _, sum_mat, wr_exp, _ = self._mats(c)
         return jnp.einsum("tpq,qc->tpc", tt * wr_exp, sum_mat)
 
     def filter(self, values: jnp.ndarray) -> jnp.ndarray:
         """Approximate K @ values for (H, W, C) values (C small, e.g. 21)."""
         c = values.shape[-1]
         gy, gx, gc, t = self.gy, self.gx, self.gc, self.n_tiles
-        u = self._splat_u(values)
+        pallas = self.use_pallas and not self.exact
 
         if self.exact:
+            u = self._splat_u(values)
             grid = jnp.zeros((gy, gx, gc * gc, gc * c), _F32)
             for ci, (dy, dx) in enumerate(_CORNERS):
                 uc = (self.sw[:, :, ci : ci + 1] * u.astype(_F32)).astype(_BF16)
@@ -214,7 +217,18 @@ class MMGridPlan:
                     "tbp,tpq->tbq", self.wbg_t, uc, preferred_element_type=_F32
                 ).reshape(self.nty, self.ntx, gc * gc, gc * c)
                 grid = grid.at[dy : dy + self.nty, dx : dx + self.ntx].add(block)
+        elif pallas:
+            from dsrg_tpu.ops.crf.pallas_mmgrid import splat_fused
+
+            tile_mat, _, _, wre_bf = self._mats(c)
+            v = self._tile(self.pad(values))
+            g2 = splat_fused(self.wbg, v, wre_bf, tile_mat.astype(_BF16)).reshape(
+                self.nty, self.ntx, gc * gc, gc * c
+            )
+            grid = jnp.tensordot(self.by.T, g2, axes=1)
+            grid = jnp.moveaxis(jnp.tensordot(self.bx.T, grid, axes=((1,), (1,))), 0, 1)
         else:
+            u = self._splat_u(values)
             g2 = jnp.einsum(
                 "tbp,tpq->tbq", self.wbg_t, u, preferred_element_type=_F32
             ).reshape(self.nty, self.ntx, gc * gc, gc * c)
@@ -243,10 +257,16 @@ class MMGridPlan:
             g2 = jnp.tensordot(self.by, gf, axes=1)
             g2 = jnp.moveaxis(jnp.tensordot(self.bx, g2, axes=((1,), (1,))), 0, 1)
             slab = g2.reshape(t, gc * gc, gc * c).astype(_BF16)
-            tt = jnp.einsum(
-                "tpb,tbq->tpq", self.wbg, slab, preferred_element_type=_F32
-            )
-            out = self._rcontract(tt, c)
+            if pallas:
+                from dsrg_tpu.ops.crf.pallas_mmgrid import slice_fused
+
+                _, sum_mat, _, wre_bf = self._mats(c)
+                out = slice_fused(self.wbg, slab, wre_bf, sum_mat.astype(_BF16))
+            else:
+                tt = jnp.einsum(
+                    "tpb,tbq->tpq", self.wbg, slab, preferred_element_type=_F32
+                )
+                out = self._rcontract(tt, c)
         return self._untile(out)[: self.h, : self.w]
 
 
@@ -260,6 +280,7 @@ def mean_field_mmgrid(
     w_spatial: float = 3.0,
     valid_mask: jnp.ndarray | None = None,
     spatial_exact: bool = False,
+    use_pallas: bool = True,
 ) -> jnp.ndarray:
     """Matmul-grid mean field with the reference CRF() parameterization.
 
@@ -270,7 +291,7 @@ def mean_field_mmgrid(
     """
     h, w, m = unary.shape
     img = jnp.round(image.astype(_F32))
-    plan = MMGridPlan(img, 80.0 / scale_factor, color_factor, spatial_exact)
+    plan = MMGridPlan(img, 80.0 / scale_factor, color_factor, spatial_exact, use_pallas)
     s_g = 3.0 / scale_factor
 
     mask = (

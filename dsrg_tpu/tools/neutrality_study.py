@@ -1,0 +1,167 @@
+"""CRF-engine mIoU-neutrality study on photo-statistics inputs.
+
+VOC data is unavailable in the build environment, so engine neutrality is
+measured on synthetic *photo-like* inputs (piecewise-constant color regions
+with smooth shading, texture noise, and CNN-like blurred/corrupted unaries)
+at production geometry (500x375, 21 classes, 10 iterations, inference
+parameterization sf=1.0).  The oracle is the native permutohedral CPU engine
+— the SAME splat/blur/slice algorithm as the reference's host engine
+(``CRF/src/permutohedral.cpp``) — so "agreement with oracle" reads directly
+as "agreement with the reference pipeline's CRF".
+
+Also measures the train-geometry ``crf_fast`` question (ADVICE r1): bf16 vs
+fp32 exact-engine mean field at 41^2 x 21 and its effect on the GROWN SEEDS
+(the only consumer of the train CRF), batch-averaged.
+
+Run: ``python -m dsrg_tpu.tools.neutrality_study [--images N] [--size H W]``
+Numbers from this tool are recorded in STATUS.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def make_photo_like(rng, h, w, n_regions=8, n_classes=21):
+    """Piecewise-constant regions + smooth shading + noise, and CNN-ish unaries."""
+    from scipy.ndimage import gaussian_filter, zoom
+
+    # voronoi regions
+    seeds = rng.uniform(0, 1, size=(n_regions, 2)) * [h, w]
+    ys, xs = np.mgrid[0:h, 0:w]
+    d = (ys[None] - seeds[:, 0, None, None]) ** 2 + (xs[None] - seeds[:, 1, None, None]) ** 2
+    region = np.argmin(d, axis=0)
+    region_colors = rng.uniform(30, 225, size=(n_regions, 3)).astype(np.float32)
+    img = region_colors[region]
+    # smooth shading field
+    low = rng.uniform(-30, 30, size=(6, 8, 3)).astype(np.float32)
+    shade = zoom(low, (h / 6, w / 8, 1), order=1)[:h, :w]
+    img = np.clip(img + shade + rng.normal(size=img.shape) * 6, 0, 255).astype(np.float32)
+
+    # CNN-like unaries: region class + blur + corruption
+    cls_of_region = rng.integers(0, n_classes, size=n_regions)
+    label = cls_of_region[region]
+    logits = np.zeros((h, w, n_classes), np.float32)
+    logits[ys, xs, label] = 3.0
+    logits = gaussian_filter(logits, sigma=(8, 8, 0))
+    logits += rng.normal(size=logits.shape).astype(np.float32) * 0.4
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    probs = (e / e.sum(-1, keepdims=True)).astype(np.float32)
+    return img, np.maximum(probs, 1e-5), label
+
+
+def engine_neutrality(n_images=3, h=375, w=500, m=21, seed=0):
+    import jax
+    import jax.numpy as jnp
+
+    from dsrg_tpu import native
+    from dsrg_tpu.ops.crf.grid import mean_field_grid
+    from dsrg_tpu.ops.crf.lattice import mean_field_lattice
+    from dsrg_tpu.ops.crf.mmgrid import mean_field_mmgrid
+
+    if not (native.available() or native.build()):
+        raise RuntimeError("native permutohedral oracle unavailable")
+
+    engines = {
+        "mmgrid": lambda im, u: np.asarray(
+            jax.jit(lambda a, b: mean_field_mmgrid(b, a, n_iters=10))(im, u)
+        ),
+        "lattice": lambda im, u: np.asarray(
+            jax.jit(lambda a, b: mean_field_lattice(b, a, n_iters=10))(im, u)
+        ),
+        "grid": lambda im, u: np.asarray(
+            jax.jit(lambda a, b: mean_field_grid(b, a, n_iters=10))(im, u)
+        ),
+    }
+
+    rng = np.random.default_rng(seed)
+    rows = {k: {"agree": [], "mad": [], "ms": []} for k in engines}
+    oracle_ms = []
+    for i in range(n_images):
+        img, probs, _ = make_photo_like(rng, h, w)
+        unary = np.log(probs)
+        t0 = time.perf_counter()
+        q_ref = native.crf_permutohedral(img, unary, maxiter=10, scale_factor=1.0)
+        oracle_ms.append((time.perf_counter() - t0) * 1000)
+        a_ref = q_ref.argmax(-1)
+        for name, fn in engines.items():
+            t0 = time.perf_counter()
+            q = fn(jnp.asarray(img), jnp.asarray(unary))
+            dt = (time.perf_counter() - t0) * 1000
+            rows[name]["agree"].append(float((q.argmax(-1) == a_ref).mean()))
+            rows[name]["mad"].append(float(np.abs(q - q_ref).mean()))
+            rows[name]["ms"].append(dt)
+    out = {
+        "geometry": f"{h}x{w}x{m}, 10 iters, sf=1.0",
+        "oracle": "native permutohedral (reference algorithm), "
+        f"{np.mean(oracle_ms):.0f} ms/image host",
+        "n_images": n_images,
+    }
+    for name, r in rows.items():
+        out[name] = {
+            "argmax_agreement_vs_reference_algo": round(float(np.mean(r["agree"])), 5),
+            "mean_abs_marginal_diff": round(float(np.mean(r["mad"])), 6),
+            "wall_ms_per_image_incl_compile_first": [round(x, 1) for x in r["ms"]],
+        }
+    return out
+
+
+def crf_fast_neutrality(n_batches=4, batch=8, h=41, m=21, seed=0):
+    """bf16 vs fp32 train-geometry CRF: effect on the grown seeds."""
+    import jax
+    import jax.numpy as jnp
+
+    from dsrg_tpu.ops.crf.api import crf_refine_probs
+    from dsrg_tpu.ops.grow import dsrg_grow
+
+    rng = np.random.default_rng(seed)
+    diffs, seed_mismatch = [], []
+    for _ in range(n_batches):
+        imgs, probs, labels_l = [], [], []
+        for _ in range(batch):
+            img, p, label = make_photo_like(rng, h, h, n_regions=4, n_classes=m)
+            imgs.append(img)
+            probs.append(p)
+            lab = np.zeros(m, np.float32)
+            lab[np.unique(label)] = 1.0
+            lab[0] = 1.0
+            labels_l.append(lab)
+        imgs = jnp.asarray(np.stack(imgs) - 127.0)  # mean-subtracted-ish guide
+        probs = jnp.asarray(np.stack(probs))
+        labels = np.stack(labels_l)
+        cues = (rng.uniform(size=(batch, h, h, m)) < 0.02).astype(np.float32)
+        cues *= labels[:, None, None, :]
+
+        q32 = crf_refine_probs(probs, imgs, fast=False)
+        q16 = crf_refine_probs(probs, imgs, fast=True)
+        diffs.append(float(jnp.abs(q32 - q16).mean()))
+        g32 = np.asarray(dsrg_grow(jnp.asarray(labels), jnp.asarray(cues), q32))
+        g16 = np.asarray(dsrg_grow(jnp.asarray(labels), jnp.asarray(cues), q16))
+        seed_mismatch.append(float((g32 != g16).mean()))
+    return {
+        "geometry": f"batch {batch} @ {h}x{h}x{m}, sf=12, 10 iters",
+        "n_batches": n_batches,
+        "mean_abs_marginal_diff_bf16_vs_fp32": round(float(np.mean(diffs)), 6),
+        "grown_seed_disagreement_rate": round(float(np.mean(seed_mismatch)), 6),
+    }
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--images", type=int, default=3)
+    p.add_argument("--size", type=int, nargs=2, default=[375, 500])
+    p.add_argument("--skip-fast", action="store_true")
+    args = p.parse_args(argv)
+
+    report = {"engines": engine_neutrality(args.images, *args.size)}
+    if not args.skip_fast:
+        report["crf_fast"] = crf_fast_neutrality()
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

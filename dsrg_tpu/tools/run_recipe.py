@@ -38,7 +38,23 @@ def main(argv=None) -> None:
     p.add_argument("--no-smooth", action="store_true", help="skip CRF post-processing")
     p.add_argument("--model", dest="model_name", choices=["vgg16", "resnet101"],
                    default="vgg16", help="backbone family for both stages")
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "exact", "mmgrid", "lattice", "grid", "native"],
+                   help="CRF engine for the inference stages")
+    p.add_argument("--parity", action="store_true",
+                   help="reference-parity mode: fp32 everywhere (training + "
+                        "CRF mean field), exact per-shape forwards, serial "
+                        "per-image inference.  The one remaining numeric "
+                        "deviation from the reference pipeline is the "
+                        "full-resolution CRF approximation; its measured "
+                        "bound (99.9%+ argmax agreement with the reference's "
+                        "permutohedral algorithm on photo-statistics inputs) "
+                        "is recorded in STATUS.md, or pass --engine native "
+                        "to run the literal reference algorithm on the host.")
     args = p.parse_args(argv)
+
+    if args.parity:
+        args.dtype = "float32"
 
     size_overrides = ["--model", args.model_name]
     if args.batch_size is not None:
@@ -62,11 +78,15 @@ def main(argv=None) -> None:
     train_tool.main(s_args)
     model_s = osp.join(w, "model-s", f"step_{args.stage1_iters}_params")
 
+    infer_overrides = ["--engine", args.engine]
+    if args.parity:
+        infer_overrides += ["--batch", "1", "--bucket", "1"]
+
     # 2. pseudo-GT dump over train_aug
     dsrg_out = osp.join(w, "DSRGOutput")
     test_ms_args = ["--images", osp.join(ld, "train_aug_id.txt"), "--dir", args.pascal_dir,
                     "--model", model_s, "--output", dsrg_out,
-                    "--model-name", args.model_name]
+                    "--model-name", args.model_name] + infer_overrides
     if not args.no_smooth:
         test_ms_args.append("--smooth")
     ms = build_arg_parser("").parse_args(test_ms_args)
@@ -90,7 +110,7 @@ def main(argv=None) -> None:
     final_out = osp.join(w, "DSRG_final_output")
     mf_args = ["--images", osp.join(ld, "val_id.txt"), "--dir", args.pascal_dir,
                "--model", model_f, "--output", final_out,
-               "--model-name", args.model_name]
+               "--model-name", args.model_name] + infer_overrides
     if not args.no_smooth:
         mf_args.append("--smooth")
     mf = build_arg_parser("").parse_args(mf_args)
