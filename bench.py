@@ -164,15 +164,17 @@ def bench_reference_host_step(batch_size: int = 20, n_probe: int = 3):
     }
 
 
-def _device_ms(make_body, reps: int = 20, outer: int = 3) -> float:
+def _device_ms(make_body, reps: int = 40, outer: int = 3) -> float:
     """Per-op device time via an in-jit fori_loop of ``reps`` dependent calls.
 
-    The remote-TPU tunnel adds tens of ms of dispatch latency per jit call;
+    The remote-TPU tunnel adds ~40 ms of dispatch latency per jit call;
     subtracting a separately-measured latency (the round-1 method) is
     numerically fragile and produced garbage for sub-10ms ops.  Running the
     op ``reps`` times inside ONE jit (each iteration data-dependent on the
     last so XLA cannot overlap or DCE them) amortizes the dispatch to
-    noise.  ``make_body(acc)`` returns a scalar that depends on the op.
+    noise — keep ``reps`` high enough that 40/reps ms is negligible next to
+    the op itself.  ``make_body(acc)`` returns a scalar that depends on the
+    op.
     """
     import jax
 
@@ -214,8 +216,10 @@ def bench_crf_single(size: int = 321, m: int = 21, iters: int = 20):
     probs_np = probs.reshape(size, size, m)
     logp = jnp.asarray(np.log(probs_np))
     dt = _device_ms(
-        lambda acc: mean_field_mmgrid(logp + acc * 0, image, n_iters=10).mean(),
-        reps=8,
+        # * 1e-30 (not * 0): XLA's algebraic simplifier may fold a mul-by-
+        # zero, sever the loop-carried dependence, and hoist the whole body
+        lambda acc: mean_field_mmgrid(logp + acc * 1e-30, image, n_iters=10).mean(),
+        reps=40,
     ) / 1000.0
 
     base_dt = None
@@ -253,7 +257,7 @@ def bench_grow_only(batch_size: int = 20, iters: int = 20):
     cues = (rng.uniform(size=(b, h, h, m)) < 0.02).astype(np.float32) * labels[:, None, None, :]
     probs = rng.dirichlet(np.ones(m), size=(b, h, h)).astype(np.float32)
     jl, jc, jp = jnp.asarray(labels), jnp.asarray(cues), jnp.asarray(probs)
-    dt = _device_ms(lambda acc: dsrg_grow(jl, jc, jp + acc * 0).sum() * 1e-9, reps=20) / 1000.0
+    dt = _device_ms(lambda acc: dsrg_grow(jl, jc, jp + acc * 1e-30).sum() * 1e-9, reps=200) / 1000.0
 
     base_dt = None
     try:  # native CPU BFS grower as the host-side baseline
@@ -291,9 +295,9 @@ def bench_inference(batch_size: int = 8, iters: int = 10, model_name: str = "vgg
     variables = model.init({"params": jax.random.PRNGKey(0)}, x[:1], train=False)
     dt = _device_ms(
         lambda acc: model.apply(
-            variables, x + acc.astype(x.dtype) * 0, train=False
+            variables, x + acc.astype(x.dtype) * 1e-30, train=False
         ).astype(jnp.float32).mean(),
-        reps=10,
+        reps=40,
     ) / 1000.0
     return batch_size / dt, dt
 

@@ -125,22 +125,30 @@ class MMGridPlan:
 
         img = jnp.round(guide.astype(_F32))
         img = jnp.pad(img, ((0, hp - h), (0, wp - w), (0, 0)))
-        cs = img / sigma_rgb  # (hp, wp, 3) in [0, 255/sigma_rgb]
+        # tile the 3-channel image FIRST (a 1.5 MB transpose), then build the
+        # fat weight arrays directly in tiled order — tiling the (np, gc^2)
+        # weights after the fact is a ~114 MB 5-D shuffle (~6 ms on TPU)
+        cs = self._tile(img) / sigma_rgb  # (T, px, 3) in [0, 255/sigma_rgb]
 
         lo_c = jnp.clip(jnp.floor(cs).astype(jnp.int32), 0, gc - 2)
         fc = jnp.clip(cs - lo_c.astype(_F32), 0.0, 1.0)
 
-        def interp_1d(lo, f):  # 2-sparse (np, gc) interpolation rows
-            eye = jnp.eye(gc, dtype=_F32)
-            return eye[lo] * (1.0 - f)[:, None] + eye[lo + 1] * f[:, None]
+        def interp_1d(lo, f):  # 2-sparse (T, px, gc) interpolation rows
+            # iota-compare instead of eye[lo] row gathers: TPU gathers of
+            # short rows run at a few % of HBM bandwidth, compares are free
+            iota = jnp.arange(gc, dtype=jnp.int32)[None, None, :]
+            hit_lo = (iota == lo[..., None]).astype(_F32)
+            hit_hi = (iota == (lo + 1)[..., None]).astype(_F32)
+            return hit_lo * (1.0 - f)[..., None] + hit_hi * f[..., None]
 
-        wb = interp_1d(lo_c[..., 0].reshape(self.np_), fc[..., 0].reshape(self.np_))
-        wg = interp_1d(lo_c[..., 1].reshape(self.np_), fc[..., 1].reshape(self.np_))
-        wr = interp_1d(lo_c[..., 2].reshape(self.np_), fc[..., 2].reshape(self.np_))
-        wbg = jnp.einsum("pb,pg->pbg", wb, wg).reshape(self.np_, gc * gc)
-        self.wbg = self._tile(wbg.astype(_BF16))  # (T, px, gc^2) bf16, slice side
-        self.wbg_t = jnp.swapaxes(self.wbg, 1, 2)  # (T, gc^2, px), splat side
-        self.wr = self._tile(wr)  # (T, px, gc) fp32
+        wb = interp_1d(lo_c[..., 0], fc[..., 0])
+        wg = interp_1d(lo_c[..., 1], fc[..., 1])
+        wbg = jnp.einsum("tpb,tpg->tpbg", wb, wg).reshape(
+            self.n_tiles, self.tile_px, gc * gc
+        )
+        self.wbg = wbg.astype(_BF16)  # (T, px, gc^2) bf16, slice side
+        self.wr = interp_1d(lo_c[..., 2], fc[..., 2])  # (T, px, gc) fp32
+        self._wbg_t = None
 
         if self.exact:
             ys = jnp.broadcast_to(jnp.arange(hp, dtype=_F32)[:, None] / s, (hp, wp))
@@ -157,6 +165,14 @@ class MMGridPlan:
 
         # per-C-channel-count caches (built lazily in _mats)
         self._mats_cache: dict = {}
+
+    @property
+    def wbg_t(self) -> jnp.ndarray:
+        """(T, gc^2, px) splat-side transpose; lazy — only the XLA/exact
+        paths read it (the Pallas splat contracts over px on wbg directly)."""
+        if self._wbg_t is None:
+            self._wbg_t = jnp.swapaxes(self.wbg, 1, 2)
+        return self._wbg_t
 
     def _mats(self, c: int):
         """Layout-friendly helper mats for channel count ``c``.
