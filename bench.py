@@ -302,6 +302,43 @@ def bench_inference(batch_size: int = 8, iters: int = 10, model_name: str = "vgg
     return batch_size / dt, dt
 
 
+def bench_infer_e2e(n_images: int = 24, hw=(375, 500), chunk: int = 8):
+    """Config 7: the full test-ms pipeline (run.sh step 2/4 workload) —
+    multi-scale forwards [241, 321, 401], score fusion, softmax + floor,
+    masked matmul-grid CRF smoothing, argmax — steady-state wall-clock
+    images/sec, chunked exactly like ``tools/_infer_common.run_inference``
+    with the default ``--batch 8`` (host resizes + transfers included)."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    _enable_compile_cache()
+    from dsrg_tpu.inference import Predictor
+    from dsrg_tpu.models import DeepLabLargeFOV
+
+    rng = np.random.default_rng(0)
+    h, w = hw
+    images = [
+        rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8) for _ in range(n_images)
+    ]
+    model = DeepLabLargeFOV(num_classes=21, compute_dtype=jnp.bfloat16)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 321, 321, 3)), train=False
+    )["params"]
+    predictor = Predictor(model, params, bucket=1)
+    sizes = [241, 321, 401]
+    # warmup one chunk of the SAME shapes: compiles the per-scale forwards
+    # and the chunked CRF once, as in a steady-state run over a dataset
+    predictor.predict_masks(images[:chunk], sizes=sizes)
+    t0 = time.perf_counter()
+    masks = []
+    for s in range(0, n_images, chunk):
+        masks += predictor.predict_masks(images[s : s + chunk], sizes=sizes)
+    dt = (time.perf_counter() - t0) / n_images
+    assert len(masks) == n_images and masks[0].shape == (h, w)
+    return 1.0 / dt, dt
+
+
 def bench_stage2_step(batch_size: int = 10, crop: int = 321, iters: int = 10):
     """Stage-2 retrain step (plain DeepLab CE on pseudo GT, solver-f geometry)."""
     import jax
@@ -337,9 +374,18 @@ def main():
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", type=int, default=4, choices=[1, 2, 3, 4, 5, 6],
-                    help="BASELINE.json config index (default: full train step); 6 = stage-2 step")
+    ap.add_argument("--config", type=int, default=4, choices=[1, 2, 3, 4, 5, 6, 7],
+                    help="BASELINE.json config index (default: full train step); "
+                    "6 = stage-2 step; 7 = e2e multi-scale inference pipeline")
     args = ap.parse_args()
+
+    if args.config == 7:
+        ips, dt = bench_infer_e2e()
+        print(json.dumps({"metric": "images/sec (e2e test-ms pipeline: 3-scale fwd + CRF @ 375x500)",
+                          "value": round(ips, 2), "unit": "images/sec",
+                          "vs_baseline": None,
+                          "detail": {"ms_per_image_wall": round(dt * 1000, 1)}}))
+        return
 
     if args.config == 6:
         ips, dt = bench_stage2_step()

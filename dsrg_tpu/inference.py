@@ -31,16 +31,20 @@ EPS = 1e-5  # probability floor (test-ms.py:102-103)
 
 
 @jax.jit
-def _masked_canvas_crf(image, unary, mask):
-    """Masked matmul-grid CRF on a padded canvas (sf 1.0, 10 iters).
+def _masked_canvas_crf(images, unaries, masks):
+    """Batched masked matmul-grid CRF on a padded canvas (sf 1.0, 10 iters).
 
-    Called per image but jitted once per canvas shape: padding every chunk
-    member to a shared bucketed canvas avoids a recompile per image shape.
-    The masked splat + masked symmetric normalization make the shared canvas
-    exact for each image's valid region."""
+    vmapped over the leading batch dim and jitted once per (batch, canvas)
+    shape: padding every chunk member to a shared bucketed canvas avoids a
+    recompile per image shape, and batching amortizes the per-dispatch
+    tunnel latency (~40 ms) over the chunk.  The masked splat + masked
+    symmetric normalization make the shared canvas exact for each image's
+    valid region (all-zero masks of pad members stay finite)."""
     from dsrg_tpu.ops.crf.mmgrid import mean_field_mmgrid
 
-    return mean_field_mmgrid(unary, image, n_iters=10, valid_mask=mask)
+    return jax.vmap(
+        lambda u, i, m: mean_field_mmgrid(u, i, n_iters=10, valid_mask=m)
+    )(unaries, images, masks)
 
 
 class Predictor:
@@ -176,9 +180,10 @@ class Predictor:
         scales: Optional[Sequence[float]] = None,
         smooth: bool = True,
         canvas_bucket: int = 32,
+        crf_batch: int = 4,
     ) -> list:
-        """Batched predict_mask: one forward per scale and ONE vmapped
-        compact-lattice CRF for the whole chunk (masked normalization makes
+        """Batched predict_mask: one forward per scale and one vmapped
+        matmul-grid CRF per ``crf_batch`` chunk (masked normalization makes
         the shared padded canvas exact for each image's valid region)."""
         probs = self.predict_probs_batch(images_rgb, sizes=sizes, scales=scales)
         if not smooth:
@@ -190,19 +195,27 @@ class Predictor:
         ph = bucket(max(im.shape[0] for im in images_rgb))
         pw = bucket(max(im.shape[1] for im in images_rgb))
         m = probs[0].shape[-1]
+        n = len(images_rgb)
         out = []
-        for im, p in zip(images_rgb, probs):
-            h, w = im.shape[:2]
-            img = np.zeros((ph, pw, 3), np.float32)
-            unary = np.full((ph, pw, m), -20.0, np.float32)
-            mask = np.zeros((ph, pw), np.float32)
-            img[:h, :w] = np.asarray(im, np.float32)
-            unary[:h, :w] = np.log(p)
-            mask[:h, :w] = 1.0
+        for c0 in range(0, n, crf_batch):
+            idxs = range(c0, min(c0 + crf_batch, n))
+            # pad the last chunk with empty masks: one compile per canvas
+            img = np.zeros((crf_batch, ph, pw, 3), np.float32)
+            unary = np.full((crf_batch, ph, pw, m), -20.0, np.float32)
+            mask = np.zeros((crf_batch, ph, pw), np.float32)
+            for j, i in enumerate(idxs):
+                h, w = images_rgb[i].shape[:2]
+                img[j, :h, :w] = np.asarray(images_rgb[i], np.float32)
+                unary[j, :h, :w] = np.log(probs[i])
+                mask[j, :h, :w] = 1.0
             q = np.asarray(
-                _masked_canvas_crf(jnp.asarray(img), jnp.asarray(unary), jnp.asarray(mask))
+                _masked_canvas_crf(
+                    jnp.asarray(img), jnp.asarray(unary), jnp.asarray(mask)
+                )
             )
-            out.append(q[:h, :w].argmax(-1).astype(np.uint8))
+            for j, i in enumerate(idxs):
+                h, w = images_rgb[i].shape[:2]
+                out.append(q[j, :h, :w].argmax(-1).astype(np.uint8))
         return out
 
     def predict_mask(

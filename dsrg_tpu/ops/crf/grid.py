@@ -64,6 +64,22 @@ def separable_gaussian_filter(x: jnp.ndarray, sigma: float, truncate: float = 4.
     return jnp.einsum("wW,hWc->hwc", kw, y, precision=hi)
 
 
+def separable_gaussian_filter_cf(
+    x: jnp.ndarray, sigma: float, truncate: float = 4.0
+) -> jnp.ndarray:
+    """Channel-first variant: (C, H, W) -> (C, H, W), same kernel as above.
+
+    Contractions shaped as (C batched (H,H)@(H,W)) then ((C*H), W)@(W, W) —
+    both MXU-friendly with the wide spatial dims minor.
+    """
+    h, w = x.shape[1], x.shape[2]
+    kh = jnp.asarray(_axis_blur_matrix(h, sigma, truncate))
+    kw = jnp.asarray(_axis_blur_matrix(w, sigma, truncate))
+    hi = jax.lax.Precision.HIGH
+    y = jnp.einsum("hH,cHw->chw", kh, x, precision=hi)
+    return jnp.einsum("wW,chW->chw", kw, y, precision=hi)
+
+
 def _grid_geometry(h: int, w: int, sigma_xy: float, sigma_rgb: float, pad: int = 2):
     gy = int(math.ceil((h - 1) / sigma_xy)) + 1 + 2 * pad
     gx = int(math.ceil((w - 1) / sigma_xy)) + 1 + 2 * pad

@@ -23,16 +23,22 @@ bandwidth).  This engine has NO gathers, NO scatters and NO sorts anywhere:
     error the unit tests bound against the exact engine (99.9%+ argmax).
     Pass ``spatial_exact=True`` (or use an odd cell size) for true
     per-pixel 4-corner bilinear at ~4x the matmul cost.
-  * **blur**: five separable radius-2 passes as pure shift-adds.
+  * **blur**: three separable radius-2 color passes as pure shift-adds; the
+    two SPATIAL blur passes are folded into the splat-side resample matrix
+    (``down = blur_band @ half_cell^T`` — associativity of the linear ops),
+    so they cost nothing per filter.
 
 TPU layout notes (the difference between 24 ms and ~5 ms per iteration):
 every hot array keeps ``gc*C`` (~441) as its LAST dim — fp32/bf16 tiles are
 (8, 128)/(16, 128), so a trailing (21, 21) pair would pad to (24, 128), a
 6.9x memory blowup.  The r-axis blur therefore shifts by whole C-blocks
-*inside* the flattened last dim, the per-pixel r-contraction is a GEMM with
-a fixed (gc*C, C) summing matrix instead of a reshape to (..., gc, C), and
-the splat einsum reads a pre-transposed (gc^2, px) copy of the weights so
-XLA never transposes a 141 MB operand per iteration.
+*inside* the flattened last dim, and the per-pixel r-contraction is a GEMM
+with a fixed (gc*C, C) summing matrix instead of a reshape to (..., gc, C).
+For the same reason the per-pixel VALUES cross the filter boundary
+channel-first — (C, H, W) outside, (T, C, px) at the kernel edge — so the
+mean-field's elementwise work (softmax, masking, message sums) runs on
+~11 MB arrays instead of 6x-padded 66 MB ones; the (px, C)-shaped matmul
+operands exist only inside the Pallas kernels' VMEM.
 
 Reference behavior being approximated: the O(N (d+1)) permutohedral filter
 (``CRF/src/permutohedral.cpp:476-589``); parameterization per
@@ -48,7 +54,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dsrg_tpu.ops.crf.grid import separable_gaussian_filter
+from dsrg_tpu.ops.crf.grid import separable_gaussian_filter_cf
 
 _F32 = jnp.float32
 _BF16 = jnp.bfloat16
@@ -90,6 +96,15 @@ def _half_cell_matrix(n_nodes: int, n_half: int) -> np.ndarray:
         b[j, lo] = 1.0 - f
         b[j, lo + 1] = f
     return b
+
+
+def _blur_band(n: int) -> np.ndarray:
+    """(n, n) banded matrix form of ``_shift_blur`` (zero boundary)."""
+    d = np.abs(np.arange(n)[:, None] - np.arange(n)[None, :])
+    out = np.zeros((n, n), np.float32)
+    for k, wk in enumerate(_BLUR_W):
+        out[d == k] = wk
+    return out
 
 
 class MMGridPlan:
@@ -160,8 +175,15 @@ class MMGridPlan:
             )
             self.sw = self._tile(sw)  # (T, px, 4)
         else:
-            self.by = jnp.asarray(_half_cell_matrix(gy, nty))
-            self.bx = jnp.asarray(_half_cell_matrix(gx, ntx))
+            by = _half_cell_matrix(gy, nty)
+            bx = _half_cell_matrix(gx, ntx)
+            self.by = jnp.asarray(by)  # (nty, gy) slice-side up-resample
+            self.bx = jnp.asarray(bx)
+            # splat-side down-resample with the spatial blur FOLDED IN:
+            # blur(by^T @ g) == (blur_band @ by^T) @ g, so the two full-grid
+            # spatial blur passes per filter become free
+            self.dy = jnp.asarray(_blur_band(gy) @ by.T)  # (gy, nty)
+            self.dx = jnp.asarray(_blur_band(gx) @ bx.T)  # (gx, ntx)
 
         # per-C-channel-count caches (built lazily in _mats)
         self._mats_cache: dict = {}
@@ -204,6 +226,22 @@ class MMGridPlan:
     def pad(self, values: jnp.ndarray) -> jnp.ndarray:
         return jnp.pad(values, ((0, self.hp - self.h), (0, self.wp - self.w), (0, 0)))
 
+    def _tile_cf(self, arr: jnp.ndarray) -> jnp.ndarray:
+        """(C, hp, wp) channel-first -> (n_tiles, C, tile_px)."""
+        c = arr.shape[0]
+        x = arr.reshape(c, self.nty, self.ts, self.ntx, self.ts)
+        return x.transpose(1, 3, 0, 2, 4).reshape(self.n_tiles, c, self.tile_px)
+
+    def _untile_cf(self, arr: jnp.ndarray) -> jnp.ndarray:
+        c = arr.shape[1]
+        x = arr.reshape(self.nty, self.ntx, c, self.ts, self.ts)
+        return x.transpose(2, 0, 3, 1, 4).reshape(c, self.hp, self.wp)
+
+    def pad_cf(self, values: jnp.ndarray) -> jnp.ndarray:
+        return jnp.pad(
+            values, ((0, 0), (0, self.hp - self.h), (0, self.wp - self.w))
+        )
+
     # -- the filter -----------------------------------------------------------
 
     def _splat_u(self, values: jnp.ndarray) -> jnp.ndarray:
@@ -220,69 +258,91 @@ class MMGridPlan:
 
     def filter(self, values: jnp.ndarray) -> jnp.ndarray:
         """Approximate K @ values for (H, W, C) values (C small, e.g. 21)."""
-        c = values.shape[-1]
-        gy, gx, gc, t = self.gy, self.gx, self.gc, self.n_tiles
-        pallas = self.use_pallas and not self.exact
-
         if self.exact:
-            u = self._splat_u(values)
-            grid = jnp.zeros((gy, gx, gc * gc, gc * c), _F32)
-            for ci, (dy, dx) in enumerate(_CORNERS):
-                uc = (self.sw[:, :, ci : ci + 1] * u.astype(_F32)).astype(_BF16)
-                block = jnp.einsum(
-                    "tbp,tpq->tbq", self.wbg_t, uc, preferred_element_type=_F32
-                ).reshape(self.nty, self.ntx, gc * gc, gc * c)
-                grid = grid.at[dy : dy + self.nty, dx : dx + self.ntx].add(block)
-        elif pallas:
+            return self._filter_exact(values)
+        return self.filter_cf(values.transpose(2, 0, 1)).transpose(1, 2, 0)
+
+    def filter_cf(self, values: jnp.ndarray) -> jnp.ndarray:
+        """Channel-first filter: (C, H, W) -> (C, H, W).
+
+        The production layout — elementwise callers stay channel-first so
+        their arrays keep a lane-wide minor dim (see module docstring).
+        """
+        if self.exact:  # parity mode: reuse the pixel-major 4-corner path
+            return self._filter_exact(values.transpose(1, 2, 0)).transpose(2, 0, 1)
+
+        c = values.shape[0]
+        gy, gx, gc, t = self.gy, self.gx, self.gc, self.n_tiles
+        v = self._tile_cf(self.pad_cf(values))  # (T, C, px)
+
+        if self.use_pallas:
             from dsrg_tpu.ops.crf.pallas_mmgrid import splat_fused
 
             tile_mat, _, _, wre_bf = self._mats(c)
-            v = self._tile(self.pad(values))
-            g2 = splat_fused(self.wbg, v, wre_bf, tile_mat.astype(_BF16)).reshape(
-                self.nty, self.ntx, gc * gc, gc * c
-            )
-            grid = jnp.tensordot(self.by.T, g2, axes=1)
-            grid = jnp.moveaxis(jnp.tensordot(self.bx.T, grid, axes=((1,), (1,))), 0, 1)
+            g2 = splat_fused(self.wbg, v, wre_bf, tile_mat.astype(_BF16))
         else:
-            u = self._splat_u(values)
+            tile_mat, _, wr_exp, _ = self._mats(c)
+            u = (jnp.einsum("tcp,cq->tpq", v, tile_mat) * wr_exp).astype(_BF16)
             g2 = jnp.einsum(
                 "tbp,tpq->tbq", self.wbg_t, u, preferred_element_type=_F32
-            ).reshape(self.nty, self.ntx, gc * gc, gc * c)
-            grid = jnp.tensordot(self.by.T, g2, axes=1)
-            grid = jnp.moveaxis(jnp.tensordot(self.bx.T, grid, axes=((1,), (1,))), 0, 1)
+            )
+        g2 = g2.reshape(self.nty, self.ntx, gc * gc, gc * c)
+        # down-resample with the spatial blur pre-folded into dy/dx
+        grid = jnp.tensordot(self.dy, g2, axes=1)
+        grid = jnp.moveaxis(jnp.tensordot(self.dx, grid, axes=((1,), (1,))), 0, 1)
 
-        # blur in (gy, gx, gc, gc, gc*C) layout; r blurred inside the last dim
+        # color blur in (gy, gx, gc, gc, gc*C) layout; r inside the last dim
+        g5 = grid.reshape(gy, gx, gc, gc, gc * c)
+        g5 = _shift_blur(_shift_blur(g5, 2), 3)
+        g5 = _shift_blur(g5, 4, step=c)
+        gf = g5.reshape(gy, gx, gc * gc, gc * c)
+
+        g2 = jnp.tensordot(self.by, gf, axes=1)
+        g2 = jnp.moveaxis(jnp.tensordot(self.bx, g2, axes=((1,), (1,))), 0, 1)
+        slab = g2.reshape(t, gc * gc, gc * c).astype(_BF16)
+        if self.use_pallas:
+            from dsrg_tpu.ops.crf.pallas_mmgrid import slice_fused
+
+            _, sum_mat, _, wre_bf = self._mats(c)
+            out = slice_fused(self.wbg, slab, wre_bf, sum_mat.astype(_BF16))
+        else:
+            tt = jnp.einsum(
+                "tpb,tbq->tpq", self.wbg, slab, preferred_element_type=_F32
+            )
+            _, sum_mat, wr_exp, _ = self._mats(c)
+            out = jnp.einsum("tpq,qc->tcp", tt * wr_exp, sum_mat)
+        return self._untile_cf(out)[:, : self.h, : self.w]
+
+    def _filter_exact(self, values: jnp.ndarray) -> jnp.ndarray:
+        """Per-pixel 4-corner spatial bilinear path (odd cells / parity)."""
+        c = values.shape[-1]
+        gy, gx, gc, t = self.gy, self.gx, self.gc, self.n_tiles
+
+        u = self._splat_u(values)
+        grid = jnp.zeros((gy, gx, gc * gc, gc * c), _F32)
+        for ci, (dy, dx) in enumerate(_CORNERS):
+            uc = (self.sw[:, :, ci : ci + 1] * u.astype(_F32)).astype(_BF16)
+            block = jnp.einsum(
+                "tbp,tpq->tbq", self.wbg_t, uc, preferred_element_type=_F32
+            ).reshape(self.nty, self.ntx, gc * gc, gc * c)
+            grid = grid.at[dy : dy + self.nty, dx : dx + self.ntx].add(block)
+
+        # blur all five axes; r blurred inside the last dim
         g5 = grid.reshape(gy, gx, gc, gc, gc * c)
         for axis in range(4):
             g5 = _shift_blur(g5, axis)
         g5 = _shift_blur(g5, 4, step=c)
-        gf = g5.reshape(gy, gx, gc * gc, gc * c)
+        gf = g5.reshape(gy, gx, gc * gc, gc * c).astype(_BF16)
 
-        if self.exact:
-            gf = gf.astype(_BF16)
-            out = jnp.zeros((t, self.tile_px, c), _F32)
-            for ci, (dy, dx) in enumerate(_CORNERS):
-                slab = gf[dy : dy + self.nty, dx : dx + self.ntx].reshape(
-                    t, gc * gc, gc * c
-                )
-                tt = jnp.einsum(
-                    "tpb,tbq->tpq", self.wbg, slab, preferred_element_type=_F32
-                )
-                out = out + self.sw[:, :, ci : ci + 1] * self._rcontract(tt, c)
-        else:
-            g2 = jnp.tensordot(self.by, gf, axes=1)
-            g2 = jnp.moveaxis(jnp.tensordot(self.bx, g2, axes=((1,), (1,))), 0, 1)
-            slab = g2.reshape(t, gc * gc, gc * c).astype(_BF16)
-            if pallas:
-                from dsrg_tpu.ops.crf.pallas_mmgrid import slice_fused
-
-                _, sum_mat, _, wre_bf = self._mats(c)
-                out = slice_fused(self.wbg, slab, wre_bf, sum_mat.astype(_BF16))
-            else:
-                tt = jnp.einsum(
-                    "tpb,tbq->tpq", self.wbg, slab, preferred_element_type=_F32
-                )
-                out = self._rcontract(tt, c)
+        out = jnp.zeros((t, self.tile_px, c), _F32)
+        for ci, (dy, dx) in enumerate(_CORNERS):
+            slab = gf[dy : dy + self.nty, dx : dx + self.ntx].reshape(
+                t, gc * gc, gc * c
+            )
+            tt = jnp.einsum(
+                "tpb,tbq->tpq", self.wbg, slab, preferred_element_type=_F32
+            )
+            out = out + self.sw[:, :, ci : ci + 1] * self._rcontract(tt, c)
         return self._untile(out)[: self.h, : self.w]
 
 
@@ -310,23 +370,27 @@ def mean_field_mmgrid(
     plan = MMGridPlan(img, 80.0 / scale_factor, color_factor, spatial_exact, use_pallas)
     s_g = 3.0 / scale_factor
 
+    # the loop state lives channel-first: (C, H, W) keeps the wide W dim in
+    # the 128-lane tile so the per-iteration elementwise work (softmax,
+    # masking, message sums) moves ~11 MB, not 6x-padded 66 MB
+    unary_cf = unary.transpose(2, 0, 1)
     mask = (
-        jnp.ones((h, w, 1), _F32)
+        jnp.ones((1, h, w), _F32)
         if valid_mask is None
-        else valid_mask.astype(_F32)[..., None]
+        else valid_mask.astype(_F32)[None]
     )
-    norm_b = jax.lax.rsqrt(plan.filter(mask) + 1e-20)
-    norm_s = jax.lax.rsqrt(separable_gaussian_filter(mask, s_g) + 1e-20)
+    norm_b = jax.lax.rsqrt(plan.filter_cf(mask) + 1e-20)
+    norm_s = jax.lax.rsqrt(separable_gaussian_filter_cf(mask, s_g) + 1e-20)
 
     def message(q):
         qm = q * mask
-        mb = norm_b * plan.filter(norm_b * qm)
-        ms = norm_s * separable_gaussian_filter(norm_s * qm, s_g)
+        mb = norm_b * plan.filter_cf(norm_b * qm)
+        ms = norm_s * separable_gaussian_filter_cf(norm_s * qm, s_g)
         return (w_bilateral * mb + w_spatial * ms) * mask
 
-    q = jax.nn.softmax(unary, axis=-1)
+    q = jax.nn.softmax(unary_cf, axis=0)
 
     def body(_, q):
-        return jax.nn.softmax(unary + message(q), axis=-1)
+        return jax.nn.softmax(unary_cf + message(q), axis=0)
 
-    return jax.lax.fori_loop(0, n_iters, body, q)
+    return jax.lax.fori_loop(0, n_iters, body, q).transpose(1, 2, 0)
