@@ -327,13 +327,14 @@ def bench_infer_e2e(n_images: int = 24, hw=(375, 500), chunk: int = 8):
     )["params"]
     predictor = Predictor(model, params, bucket=1)
     sizes = [241, 321, 401]
-    # warmup one chunk of the SAME shapes: compiles the per-scale forwards
-    # and the chunked CRF once, as in a steady-state run over a dataset
-    predictor.predict_masks(images[:chunk], sizes=sizes)
+    # warmup one chunk of the SAME shapes: compiles the device pipeline
+    # once, as in a steady-state run over a dataset
+    predictor.predict_masks_device(images[:chunk], sizes=sizes)
     t0 = time.perf_counter()
-    masks = []
-    for s in range(0, n_images, chunk):
-        masks += predictor.predict_masks(images[s : s + chunk], sizes=sizes)
+    masks = [
+        mk
+        for _, mk in predictor.iter_masks_device(iter(images), sizes, chunk=chunk)
+    ]
     dt = (time.perf_counter() - t0) / n_images
     assert len(masks) == n_images and masks[0].shape == (h, w)
     return 1.0 / dt, dt

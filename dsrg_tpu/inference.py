@@ -30,6 +30,44 @@ from dsrg_tpu.ops.crf import CRF
 EPS = 1e-5  # probability floor (test-ms.py:102-103)
 
 
+def _dyn_zoom_rows(out_size: int, in_cap: int, in_valid) -> jnp.ndarray:
+    """(out_size, in_cap) align-corners interpolation rows for a DYNAMIC
+    valid input length ``in_valid`` living on a static-width canvas.
+
+    Same mapping as ``ops.interp.zoom_matrix`` (out i -> in i*(valid-1)/(out-1))
+    but built in-jit from iota compares so per-image sizes can differ inside
+    one compiled program.  Rows beyond the inverse map's valid range clamp to
+    the last input pair (harmless: callers mask/crop those outputs).
+    """
+    iv = jnp.asarray(in_valid, jnp.float32)
+    i = jnp.arange(out_size, dtype=jnp.float32)
+    scale = jnp.where(out_size > 1, (iv - 1.0) / max(out_size - 1, 1), 0.0)
+    x = i * scale
+    lo = jnp.clip(jnp.floor(x), 0, jnp.maximum(iv - 2.0, 0.0))
+    frac = x - lo
+    lo_i = lo.astype(jnp.int32)
+    cols = jnp.arange(in_cap, dtype=jnp.int32)[None, :]
+    return (cols == lo_i[:, None]) * (1.0 - frac)[:, None] + (
+        cols == (lo_i + 1)[:, None]
+    ) * frac[:, None]
+
+
+def _dyn_unzoom_rows(out_cap: int, in_size: int, out_valid) -> jnp.ndarray:
+    """(out_cap, in_size) align-corners rows mapping a full (static) input
+    of length ``in_size`` onto the first ``out_valid`` rows of a canvas."""
+    ov = jnp.asarray(out_valid, jnp.float32)
+    i = jnp.arange(out_cap, dtype=jnp.float32)
+    scale = jnp.where(ov > 1, (in_size - 1.0) / jnp.maximum(ov - 1.0, 1.0), 0.0)
+    x = jnp.clip(i * scale, 0.0, float(in_size - 1))
+    lo = jnp.minimum(jnp.floor(x), in_size - 2)
+    frac = x - lo
+    lo_i = lo.astype(jnp.int32)
+    cols = jnp.arange(in_size, dtype=jnp.int32)[None, :]
+    return (cols == lo_i[:, None]) * (1.0 - frac)[:, None] + (
+        cols == (lo_i + 1)[:, None]
+    ) * frac[:, None]
+
+
 @jax.jit
 def _masked_canvas_crf(images, unaries, masks):
     """Batched masked matmul-grid CRF on a padded canvas (sf 1.0, 10 iters).
@@ -61,6 +99,7 @@ class Predictor:
         self._fwd = jax.jit(
             lambda v, x: self.model.apply(v, x, train=False)
         )
+        self._dev_ms_cache: dict = {}
 
     def _pad_size(self, s: int) -> int:
         if self.bucket == 1:
@@ -217,6 +256,136 @@ class Predictor:
                 h, w = images_rgb[i].shape[:2]
                 out.append(q[j, :h, :w].argmax(-1).astype(np.uint8))
         return out
+
+    # -- device-resident path --------------------------------------------------
+
+    def _build_device_ms(self, ph: int, pw: int, sizes: tuple, smooth: bool):
+        model, m = self.model, self.num_classes
+
+        def fn(variables, canvas_u8, dims):
+            # canvas_u8: (B, ph, pw, 3) RGB uint8; dims: (B, 2) f32 true sizes
+            bgr = canvas_u8[..., ::-1].astype(jnp.float32) - jnp.asarray(
+                BGR_MEAN, jnp.float32
+            )
+            d1, d2 = dims[:, 0], dims[:, 1]
+            scores_all = 0.0
+            for s in sizes:  # static unroll, one forward per scale
+                mh = jax.vmap(lambda v: _dyn_zoom_rows(s, ph, v))(d1)  # (B,s,ph)
+                mw = jax.vmap(lambda v: _dyn_zoom_rows(s, pw, v))(d2)
+                xs = jnp.einsum("bop,bpwc->bowc", mh, bgr)
+                xs = jnp.einsum("boq,bhqc->bhoc", mw, xs)  # (B, s, s, 3)
+                sc = model.apply(variables, xs, train=False).astype(jnp.float32)
+                so = (s - 1) // 8 + 1
+                uh = jax.vmap(lambda v: _dyn_unzoom_rows(ph, so, v))(d1)
+                uw = jax.vmap(lambda v: _dyn_unzoom_rows(pw, so, v))(d2)
+                up = jnp.einsum("bph,bhwc->bpwc", uh, sc)
+                up = jnp.einsum("bqw,bpwc->bpqc", uw, up)  # (B, ph, pw, m)
+                scores_all = scores_all + up
+            probs = jnp.maximum(jax.nn.softmax(scores_all, axis=-1), EPS)
+            if smooth:
+                from dsrg_tpu.ops.crf.mmgrid import mean_field_mmgrid
+
+                ih = jnp.arange(ph, dtype=jnp.float32)[:, None]
+                iw = jnp.arange(pw, dtype=jnp.float32)[None, :]
+                mask = (
+                    (ih[None] < d1[:, None, None]) & (iw[None] < d2[:, None, None])
+                ).astype(jnp.float32)
+                probs = jax.vmap(
+                    lambda u, i, mk: mean_field_mmgrid(
+                        u, i, n_iters=10, valid_mask=mk
+                    )
+                )(jnp.log(probs), canvas_u8.astype(jnp.float32), mask)
+            return jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+
+        return jax.jit(fn)
+
+    def predict_masks_device(
+        self,
+        images_rgb: list,
+        sizes: Sequence[int],
+        smooth: bool = True,
+        canvas_bucket: int = 32,
+    ) -> list:
+        """The whole test-ms pipeline as ONE device program per chunk.
+
+        The host path round-trips per-scale fp32 canvases and fp32 marginals
+        through host memory — ~600 MB per 8-image chunk, which dominates
+        wall-clock whenever the host<->device link is slow (a remote-TPU
+        tunnel moves ~15 MB/s; even PCIe pays).  Here the host ships ONE
+        uint8 RGB canvas per image and receives ONE uint8 mask back (~6 MB
+        per chunk); scale resizes (dynamic per-image align-corners zoom
+        matrices), score fusion, softmax + floor, masked matmul-grid CRF and
+        argmax all run on device.  ``sizes`` mode only (every image resizes
+        to exactly (s, s), so forwards are static and reference-exact —
+        ``test-ms.py:89-110`` semantics, no border padding anywhere).
+        """
+        return self._finish_device_ms(
+            self._submit_device_ms(images_rgb, sizes, smooth, canvas_bucket)
+        )
+
+    def _submit_device_ms(self, images_rgb, sizes, smooth, canvas_bucket):
+        """Dispatch one device-pipeline chunk; returns (images, device_masks)
+        WITHOUT materializing — jax dispatch is async, so a second chunk can
+        be submitted (overlapping its host->device transfer and compute with
+        the first chunk's) before ``_finish_device_ms`` pulls results."""
+        n = len(images_rgb)
+
+        def bucket(v):
+            return -(-v // canvas_bucket) * canvas_bucket
+
+        ph = bucket(max(im.shape[0] for im in images_rgb))
+        pw = bucket(max(im.shape[1] for im in images_rgb))
+        canvas = np.zeros((n, ph, pw, 3), np.uint8)
+        dims = np.zeros((n, 2), np.float32)
+        for i, im in enumerate(images_rgb):
+            h, w = im.shape[:2]
+            canvas[i, :h, :w] = np.asarray(im, np.uint8)
+            dims[i] = (h, w)
+        key = (n, ph, pw, tuple(sizes), bool(smooth))
+        fn = self._dev_ms_cache.get(key)
+        if fn is None:
+            fn = self._build_device_ms(ph, pw, tuple(sizes), bool(smooth))
+            self._dev_ms_cache[key] = fn
+        return images_rgb, fn(self.variables, jnp.asarray(canvas), jnp.asarray(dims))
+
+    @staticmethod
+    def _finish_device_ms(submitted) -> list:
+        images_rgb, dev_q = submitted
+        q = np.asarray(dev_q)
+        return [
+            q[i, : im.shape[0], : im.shape[1]] for i, im in enumerate(images_rgb)
+        ]
+
+    def iter_masks_device(
+        self,
+        images_iter,
+        sizes: Sequence[int],
+        chunk: int = 8,
+        smooth: bool = True,
+        canvas_bucket: int = 32,
+    ):
+        """Stream (image, mask) pairs with one chunk in flight.
+
+        While chunk i computes on device, chunk i+1's host work (image
+        loading from the caller's iterator, canvas packing, h2d transfer)
+        proceeds — hiding device time behind transfers and vice versa."""
+        pending = None
+        batch = []
+        for im in images_iter:
+            batch.append(im)
+            if len(batch) == chunk:
+                submitted = self._submit_device_ms(batch, sizes, smooth, canvas_bucket)
+                if pending is not None:
+                    yield from zip(pending[0], self._finish_device_ms(pending))
+                pending = submitted
+                batch = []
+        if batch:
+            submitted = self._submit_device_ms(batch, sizes, smooth, canvas_bucket)
+            if pending is not None:
+                yield from zip(pending[0], self._finish_device_ms(pending))
+            pending = submitted
+        if pending is not None:
+            yield from zip(pending[0], self._finish_device_ms(pending))
 
     def predict_mask(
         self,

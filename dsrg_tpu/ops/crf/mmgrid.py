@@ -162,7 +162,9 @@ class MMGridPlan:
             self.n_tiles, self.tile_px, gc * gc
         )
         self.wbg = wbg.astype(_BF16)  # (T, px, gc^2) bf16, slice side
-        self.wr = interp_1d(lo_c[..., 2], fc[..., 2])  # (T, px, gc) fp32
+        # r weights kept 21-wide-first (T, gc, px): the Pallas kernels expand
+        # them to (px, gc*C) in VMEM instead of streaming that from HBM
+        self.wr_t = jnp.swapaxes(interp_1d(lo_c[..., 2], fc[..., 2]), 1, 2)
         self._wbg_t = None
 
         if self.exact:
@@ -201,7 +203,10 @@ class MMGridPlan:
 
         tile_mat (C, gc*C): v -> v replicated per r-bin;
         sum_mat (gc*C, C): r-contraction summing matrix;
-        wr_exp (T, px, gc*C): per-pixel r weights expanded to the wide dim.
+        expand (gc, gc*C): 0/1 r-bin -> wide-dim expansion;
+        wr_exp (T, px, gc*C): per-pixel r weights expanded to the wide dim
+        (XLA fallback/exact paths only — the Pallas kernels rebuild it in
+        VMEM from wr_t and ``expand``; XLA DCEs it when unused).
         """
         if c not in self._mats_cache:
             gc = self.gc
@@ -210,8 +215,9 @@ class MMGridPlan:
             expand = np.zeros((gc, gc * c), np.float32)
             for r in range(gc):
                 expand[r, r * c : (r + 1) * c] = 1.0
-            wr_exp = jnp.einsum("tpr,rq->tpq", self.wr, jnp.asarray(expand))
-            self._mats_cache[c] = (tile_mat, sum_mat, wr_exp, wr_exp.astype(_BF16))
+            expand = jnp.asarray(expand)
+            wr_exp = jnp.einsum("trp,rq->tpq", self.wr_t, expand)
+            self._mats_cache[c] = (tile_mat, sum_mat, expand, wr_exp)
         return self._mats_cache[c]
 
     def _tile(self, arr: jnp.ndarray) -> jnp.ndarray:
@@ -247,13 +253,13 @@ class MMGridPlan:
     def _splat_u(self, values: jnp.ndarray) -> jnp.ndarray:
         """(H, W, C) -> (T, px, gc*C) bf16 splat operand u[p, r*C+c] = wr*v."""
         c = values.shape[-1]
-        tile_mat, _, wr_exp, _ = self._mats(c)
+        tile_mat, _, _, wr_exp = self._mats(c)
         v = self._tile(self.pad(values))  # (T, px, C)
         return (jnp.einsum("tpc,cq->tpq", v, tile_mat) * wr_exp).astype(_BF16)
 
     def _rcontract(self, tt: jnp.ndarray, c: int) -> jnp.ndarray:
         """(T, px, gc*C) fp32 -> (T, px, C): weight by wr, sum over r bins."""
-        _, sum_mat, wr_exp, _ = self._mats(c)
+        _, sum_mat, _, wr_exp = self._mats(c)
         return jnp.einsum("tpq,qc->tpc", tt * wr_exp, sum_mat)
 
     def filter(self, values: jnp.ndarray) -> jnp.ndarray:
@@ -278,10 +284,13 @@ class MMGridPlan:
         if self.use_pallas:
             from dsrg_tpu.ops.crf.pallas_mmgrid import splat_fused
 
-            tile_mat, _, _, wre_bf = self._mats(c)
-            g2 = splat_fused(self.wbg, v, wre_bf, tile_mat.astype(_BF16))
+            tile_mat, _, expand, _ = self._mats(c)
+            g2 = splat_fused(
+                self.wbg, v, self.wr_t.astype(_BF16), expand.astype(_BF16),
+                tile_mat.astype(_BF16),
+            )
         else:
-            tile_mat, _, wr_exp, _ = self._mats(c)
+            tile_mat, _, _, wr_exp = self._mats(c)
             u = (jnp.einsum("tcp,cq->tpq", v, tile_mat) * wr_exp).astype(_BF16)
             g2 = jnp.einsum(
                 "tbp,tpq->tbq", self.wbg_t, u, preferred_element_type=_F32
@@ -303,13 +312,16 @@ class MMGridPlan:
         if self.use_pallas:
             from dsrg_tpu.ops.crf.pallas_mmgrid import slice_fused
 
-            _, sum_mat, _, wre_bf = self._mats(c)
-            out = slice_fused(self.wbg, slab, wre_bf, sum_mat.astype(_BF16))
+            _, sum_mat, expand, _ = self._mats(c)
+            out = slice_fused(
+                self.wbg, slab, self.wr_t.astype(_BF16), expand.astype(_BF16),
+                sum_mat.astype(_BF16),
+            )
         else:
             tt = jnp.einsum(
                 "tpb,tbq->tpq", self.wbg, slab, preferred_element_type=_F32
             )
-            _, sum_mat, wr_exp, _ = self._mats(c)
+            _, sum_mat, _, wr_exp = self._mats(c)
             out = jnp.einsum("tpq,qc->tcp", tt * wr_exp, sum_mat)
         return self._untile_cf(out)[:, : self.h, : self.w]
 

@@ -37,11 +37,24 @@ _F32 = jnp.float32
 _BF16 = jnp.bfloat16
 
 
-def _slice_kernel(wbg_ref, slab_ref, wre_ref, sum_ref, out_ref):
+def _wre(wrt_ref, expand_ref):
+    """(gc, px) r-weights + (gc, Q) static 0/1 expand -> (px, Q) in VMEM.
+
+    Rebuilding the expanded r-weight operand per tile (a 15M-MAC matmul)
+    replaces streaming a 114 MB (T, px, Q) array from HBM twice per filter.
+    """
+    return jax.lax.dot_general(
+        wrt_ref[0], expand_ref[:],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=_F32,
+    )
+
+
+def _slice_kernel(wbg_ref, slab_ref, wrt_ref, expand_ref, sum_ref, out_ref):
     tt = jnp.dot(wbg_ref[0], slab_ref[0], preferred_element_type=_F32)  # (px, Q)
     # epilogue stays fp32 (tiny matmul): matches the XLA path bit-for-bit
     # modulo summation order, no extra bf16 rounding of tt
-    weighted = tt * wre_ref[0].astype(_F32)
+    weighted = tt * _wre(wrt_ref, expand_ref)
     # (C, px) = contract Q: sum_mat (Q, C) x weighted (px, Q)
     out_ref[0] = jax.lax.dot_general(
         sum_ref[:].astype(_F32), weighted,
@@ -50,14 +63,14 @@ def _slice_kernel(wbg_ref, slab_ref, wre_ref, sum_ref, out_ref):
     )
 
 
-def _splat_kernel(wbg_ref, v_ref, wre_ref, tile_ref, out_ref):
+def _splat_kernel(wbg_ref, v_ref, wrt_ref, expand_ref, tile_ref, out_ref):
     # (px, Q) = contract C: v (C, px) x tile_mat (C, Q)
     u = jax.lax.dot_general(
         v_ref[0].astype(_BF16), tile_ref[:],
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=_F32,
     )
-    u = (u * wre_ref[0].astype(_F32)).astype(_BF16)
+    u = (u * _wre(wrt_ref, expand_ref)).astype(_BF16)
     # contract over pixels: (gc^2, px) @ (px, gc*C)
     out_ref[0] = jax.lax.dot_general(
         wbg_ref[0], u,
@@ -71,10 +84,12 @@ def _interpret() -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=())
-def slice_fused(wbg, slab, wr_exp, sum_mat):
-    """(T, px, B) bf16, (T, B, Q) bf16, (T, px, Q) bf16, (Q, C) -> (T, C, px) f32."""
+def slice_fused(wbg, slab, wr_t, expand, sum_mat):
+    """(T, px, B) bf16, (T, B, Q) bf16, (T, gc, px) bf16, (gc, Q), (Q, C)
+    -> (T, C, px) f32."""
     t, px, b = wbg.shape
     q = slab.shape[-1]
+    gc = wr_t.shape[1]
     c = sum_mat.shape[-1]
     grid = (t,)
     return pl.pallas_call(
@@ -83,20 +98,23 @@ def slice_fused(wbg, slab, wr_exp, sum_mat):
         in_specs=[
             pl.BlockSpec((1, px, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b, q), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, px, q), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gc, px), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gc, q), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((q, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, c, px), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t, c, px), _F32),
         interpret=_interpret(),
-    )(wbg, slab, wr_exp, sum_mat)
+    )(wbg, slab, wr_t, expand, sum_mat)
 
 
 @functools.partial(jax.jit, static_argnames=())
-def splat_fused(wbg, values, wr_exp, tile_mat):
-    """(T, px, B) bf16, (T, C, px) f32, (T, px, Q) bf16, (C, Q) -> (T, B, Q) f32."""
+def splat_fused(wbg, values, wr_t, expand, tile_mat):
+    """(T, px, B) bf16, (T, C, px) f32, (T, gc, px) bf16, (gc, Q), (C, Q)
+    -> (T, B, Q) f32."""
     t, px, b = wbg.shape
     c = values.shape[1]
+    gc = wr_t.shape[1]
     q = tile_mat.shape[-1]
     return pl.pallas_call(
         _splat_kernel,
@@ -104,10 +122,11 @@ def splat_fused(wbg, values, wr_exp, tile_mat):
         in_specs=[
             pl.BlockSpec((1, px, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c, px), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, px, q), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gc, px), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gc, q), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, q), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, b, q), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t, b, q), _F32),
         interpret=_interpret(),
-    )(wbg, values, wr_exp, tile_mat)
+    )(wbg, values, wr_t, expand, tile_mat)

@@ -75,13 +75,27 @@ def run_inference(
     chunk = max(int(getattr(args, "batch", 1)), 1)
     if engine not in ("auto", "mmgrid"):
         chunk = 1  # the batched CRF path is the masked matmul grid
+
+    def _load(i):
+        return np.asarray(Image.open(osp.join(data_dir, i + ".jpg")).convert("RGB"))
+
+    if chunk > 1 and sizes is not None:
+        # device-resident streaming pipeline: uint8 canvases up, uint8 masks
+        # down, one chunk in flight; reference-exact for absolute sizes
+        # (every image forwards at exactly (s, s), no border padding)
+        stream = predictor.iter_masks_device(
+            (_load(i) for i in image_ids), sizes, chunk=chunk, smooth=args.smooth
+        )
+        for n, (img_id, (_, mask)) in enumerate(zip(image_ids, stream)):
+            print(n, img_id, flush=True)
+            if args.output_dir:
+                write_png(mask, osp.join(args.output_dir, img_id + ".png"))
+        return
+
     for start in range(0, len(image_ids), chunk):
         ids = image_ids[start : start + chunk]
         print(start, " ".join(ids), flush=True)
-        images = [
-            np.asarray(Image.open(osp.join(data_dir, i + ".jpg")).convert("RGB"))
-            for i in ids
-        ]
+        images = [_load(i) for i in ids]
         if chunk == 1:
             masks = [
                 predictor.predict_mask(

@@ -63,3 +63,35 @@ def test_batched_crf_agrees_with_exact_single():
         assert mb.shape == ms.shape
         agree = (mb == ms).mean()
         assert agree > 0.95, agree
+
+
+def test_device_pipeline_matches_serial_nosmooth():
+    """predict_masks_device (on-device zoom/fusion/argmax) reproduces the
+    serial host pipeline: the dynamic zoom matrices implement the same
+    align-corners map as scipy.ndimage.zoom order=1 (test-ms.py:89-110).
+    The matmul-form zoom reassociates the two-term lerp, so scores differ at
+    ~1e-7 and argmax can flip on exact ties along region boundaries — bound
+    the disagreement instead of requiring bit equality."""
+    predictor = _predictor()
+    rng = np.random.default_rng(3)
+    images = _images(rng)
+    dev = predictor.predict_masks_device(
+        images, sizes=[41, 57], smooth=False, canvas_bucket=16
+    )
+    for im, md in zip(images, dev):
+        ms = predictor.predict_mask(im, sizes=[41, 57], smooth=False)
+        agree = (md == ms).mean()
+        assert agree > 0.99, agree
+
+
+def test_device_pipeline_matches_serial_smooth():
+    predictor = _predictor()
+    rng = np.random.default_rng(4)
+    images = _images(rng)
+    dev = predictor.predict_masks_device(
+        images, sizes=[41], smooth=True, canvas_bucket=16
+    )
+    for im, md in zip(images, dev):
+        ms = predictor.predict_mask(im, sizes=[41], smooth=True, crf_engine="mmgrid")
+        agree = (md == ms).mean()
+        assert agree > 0.99, agree
