@@ -30,39 +30,25 @@ from dsrg_tpu.ops.crf import CRF
 EPS = 1e-5  # probability floor (test-ms.py:102-103)
 
 
-def _dyn_zoom_rows(out_size: int, in_cap: int, in_valid) -> jnp.ndarray:
-    """(out_size, in_cap) align-corners interpolation rows for a DYNAMIC
-    valid input length ``in_valid`` living on a static-width canvas.
+def _dyn_interp_rows(out_cap: int, in_cap: int, in_valid, out_valid) -> jnp.ndarray:
+    """(out_cap, in_cap) align-corners interpolation rows for DYNAMIC valid
+    lengths living on static-width canvases.
 
-    Same mapping as ``ops.interp.zoom_matrix`` (out i -> in i*(valid-1)/(out-1))
-    but built in-jit from iota compares so per-image sizes can differ inside
-    one compiled program.  Rows beyond the inverse map's valid range clamp to
-    the last input pair (harmless: callers mask/crop those outputs).
-    """
+    Same mapping as ``ops.interp.zoom_matrix``
+    (out ``i`` -> in ``i * (in_valid-1) / (out_valid-1)``) but built in-jit
+    from iota compares so per-image sizes can differ inside one compiled
+    program.  Rows at ``i >= out_valid`` land beyond the valid input range
+    and clamp to its last sample (edge replication — callers mask/crop those
+    outputs)."""
     iv = jnp.asarray(in_valid, jnp.float32)
-    i = jnp.arange(out_size, dtype=jnp.float32)
-    scale = jnp.where(out_size > 1, (iv - 1.0) / max(out_size - 1, 1), 0.0)
-    x = i * scale
+    ov = jnp.asarray(out_valid, jnp.float32)
+    i = jnp.arange(out_cap, dtype=jnp.float32)
+    scale = jnp.where(ov > 1.0, (iv - 1.0) / jnp.maximum(ov - 1.0, 1.0), 0.0)
+    x = jnp.minimum(i * scale, jnp.maximum(iv - 1.0, 0.0))
     lo = jnp.clip(jnp.floor(x), 0, jnp.maximum(iv - 2.0, 0.0))
     frac = x - lo
     lo_i = lo.astype(jnp.int32)
     cols = jnp.arange(in_cap, dtype=jnp.int32)[None, :]
-    return (cols == lo_i[:, None]) * (1.0 - frac)[:, None] + (
-        cols == (lo_i + 1)[:, None]
-    ) * frac[:, None]
-
-
-def _dyn_unzoom_rows(out_cap: int, in_size: int, out_valid) -> jnp.ndarray:
-    """(out_cap, in_size) align-corners rows mapping a full (static) input
-    of length ``in_size`` onto the first ``out_valid`` rows of a canvas."""
-    ov = jnp.asarray(out_valid, jnp.float32)
-    i = jnp.arange(out_cap, dtype=jnp.float32)
-    scale = jnp.where(ov > 1, (in_size - 1.0) / jnp.maximum(ov - 1.0, 1.0), 0.0)
-    x = jnp.clip(i * scale, 0.0, float(in_size - 1))
-    lo = jnp.minimum(jnp.floor(x), in_size - 2)
-    frac = x - lo
-    lo_i = lo.astype(jnp.int32)
-    cols = jnp.arange(in_size, dtype=jnp.int32)[None, :]
     return (cols == lo_i[:, None]) * (1.0 - frac)[:, None] + (
         cols == (lo_i + 1)[:, None]
     ) * frac[:, None]
@@ -259,8 +245,43 @@ class Predictor:
 
     # -- device-resident path --------------------------------------------------
 
-    def _build_device_ms(self, ph: int, pw: int, sizes: tuple, smooth: bool):
+    def _build_device_ms(
+        self,
+        ph: int,
+        pw: int,
+        sizes: Optional[tuple],
+        scales: Optional[tuple],
+        smooth: bool,
+    ):
         model, m = self.model, self.num_classes
+
+        # Per multi-scale entry: static forward-canvas dims + a fn giving the
+        # DYNAMIC valid extent on that canvas.  Absolute sizes (test-ms.py)
+        # fill their canvas exactly (reference-exact forward); fractional
+        # scales (test-ms-f.py) occupy round(s*dim) of a ceil(s*cap) canvas,
+        # zero-masked beyond (in mean-subtracted space) — the same border-
+        # perturbation class as the batched host path's zero-padded canvas.
+        if sizes is not None:
+            specs = [
+                (int(s), int(s), (lambda s: lambda d: jnp.full_like(d, s))(int(s)), False)
+                for s in sizes
+            ]
+        else:
+            # smallest 8k+1 canvas >= the scaled extent: on 8k+1 shapes the
+            # net's stride-8 output size is exactly (n-1)//8+1 (Caffe
+            # ceil-mode pooling would differ on other widths)
+            def cap8(v):
+                return int(-(-(int(np.ceil(v)) - 1) // 8) * 8 + 1)
+
+            specs = [
+                (
+                    cap8(s * ph),
+                    cap8(s * pw),
+                    (lambda s: lambda d: jnp.round(s * d))(float(s)),
+                    True,
+                )
+                for s in (scales or (1.0,))
+            ]
 
         def fn(variables, canvas_u8, dims):
             # canvas_u8: (B, ph, pw, 3) RGB uint8; dims: (B, 2) f32 true sizes
@@ -269,15 +290,33 @@ class Predictor:
             )
             d1, d2 = dims[:, 0], dims[:, 1]
             scores_all = 0.0
-            for s in sizes:  # static unroll, one forward per scale
-                mh = jax.vmap(lambda v: _dyn_zoom_rows(s, ph, v))(d1)  # (B,s,ph)
-                mw = jax.vmap(lambda v: _dyn_zoom_rows(s, pw, v))(d2)
+            for fh, fw, valid, masked in specs:  # static unroll, 1 fwd/scale
+                vh, vw = valid(d1), valid(d2)
+                mh = jax.vmap(
+                    lambda iv, ov: _dyn_interp_rows(fh, ph, iv, ov)
+                )(d1, vh)  # (B, fh, ph)
+                mw = jax.vmap(lambda iv, ov: _dyn_interp_rows(fw, pw, iv, ov))(d2, vw)
                 xs = jnp.einsum("bop,bpwc->bowc", mh, bgr)
-                xs = jnp.einsum("boq,bhqc->bhoc", mw, xs)  # (B, s, s, 3)
+                xs = jnp.einsum("boq,bhqc->bhoc", mw, xs)  # (B, fh, fw, 3)
+                if masked:
+                    # zero the (mean-subtracted) canvas beyond the valid
+                    # extent: the same zero-pad border context as the exact-
+                    # size forward's first conv and the batched host canvas
+                    rh = jnp.arange(fh, dtype=jnp.float32)[None, :] < vh[:, None]
+                    rw = jnp.arange(fw, dtype=jnp.float32)[None, :] < vw[:, None]
+                    xs = xs * (rh[:, :, None] & rw[:, None, :])[..., None]
                 sc = model.apply(variables, xs, train=False).astype(jnp.float32)
-                so = (s - 1) // 8 + 1
-                uh = jax.vmap(lambda v: _dyn_unzoom_rows(ph, so, v))(d1)
-                uw = jax.vmap(lambda v: _dyn_unzoom_rows(pw, so, v))(d2)
+                # score-canvas caps come from the traced output shape (exact
+                # for any Caffe ceil-pooling geometry, not just 8k+1 inputs);
+                # the VALID extent is the host crop rule (h-1)//8+1
+                # (scores_at_size / test-ms.py:96-99), dynamic in scales mode
+                so_h, so_w = sc.shape[1], sc.shape[2]
+                sv_h = jnp.floor((vh - 1.0) / 8.0) + 1.0
+                sv_w = jnp.floor((vw - 1.0) / 8.0) + 1.0
+                uh = jax.vmap(
+                    lambda iv, ov: _dyn_interp_rows(ph, so_h, iv, ov)
+                )(sv_h, d1)
+                uw = jax.vmap(lambda iv, ov: _dyn_interp_rows(pw, so_w, iv, ov))(sv_w, d2)
                 up = jnp.einsum("bph,bhwc->bpwc", uh, sc)
                 up = jnp.einsum("bqw,bpwc->bpqc", uw, up)  # (B, ph, pw, m)
                 scores_all = scores_all + up
@@ -302,11 +341,13 @@ class Predictor:
     def predict_masks_device(
         self,
         images_rgb: list,
-        sizes: Sequence[int],
+        sizes: Optional[Sequence[int]] = None,
+        scales: Optional[Sequence[float]] = None,
         smooth: bool = True,
         canvas_bucket: int = 32,
     ) -> list:
-        """The whole test-ms pipeline as ONE device program per chunk.
+        """The whole test-ms / test-ms-f pipeline as ONE device program per
+        chunk.
 
         The host path round-trips per-scale fp32 canvases and fp32 marginals
         through host memory — ~600 MB per 8-image chunk, which dominates
@@ -315,15 +356,19 @@ class Predictor:
         uint8 RGB canvas per image and receives ONE uint8 mask back (~6 MB
         per chunk); scale resizes (dynamic per-image align-corners zoom
         matrices), score fusion, softmax + floor, masked matmul-grid CRF and
-        argmax all run on device.  ``sizes`` mode only (every image resizes
-        to exactly (s, s), so forwards are static and reference-exact —
-        ``test-ms.py:89-110`` semantics, no border padding anywhere).
+        argmax all run on device.  ``sizes`` mode (``test-ms.py:89-110``)
+        resizes every image to exactly (s, s) — static forwards, no border
+        padding anywhere.  ``scales`` mode (``test-ms-f.py:115-130``) runs
+        each scale on a static ceil(s*canvas) forward canvas with the image
+        occupying a dynamic round(s*dim) extent, zero-masked beyond — the
+        same perturbation class as the batched host path's shared
+        zero-padded canvas.
         """
         return self._finish_device_ms(
-            self._submit_device_ms(images_rgb, sizes, smooth, canvas_bucket)
+            self._submit_device_ms(images_rgb, sizes, scales, smooth, canvas_bucket)
         )
 
-    def _submit_device_ms(self, images_rgb, sizes, smooth, canvas_bucket):
+    def _submit_device_ms(self, images_rgb, sizes, scales, smooth, canvas_bucket):
         """Dispatch one device-pipeline chunk; returns (images, device_masks)
         WITHOUT materializing — jax dispatch is async, so a second chunk can
         be submitted (overlapping its host->device transfer and compute with
@@ -341,10 +386,12 @@ class Predictor:
             h, w = im.shape[:2]
             canvas[i, :h, :w] = np.asarray(im, np.uint8)
             dims[i] = (h, w)
-        key = (n, ph, pw, tuple(sizes), bool(smooth))
+        sizes_t = tuple(sizes) if sizes is not None else None
+        scales_t = tuple(scales) if scales is not None else None
+        key = (n, ph, pw, sizes_t, scales_t, bool(smooth))
         fn = self._dev_ms_cache.get(key)
         if fn is None:
-            fn = self._build_device_ms(ph, pw, tuple(sizes), bool(smooth))
+            fn = self._build_device_ms(ph, pw, sizes_t, scales_t, bool(smooth))
             self._dev_ms_cache[key] = fn
         return images_rgb, fn(self.variables, jnp.asarray(canvas), jnp.asarray(dims))
 
@@ -359,7 +406,8 @@ class Predictor:
     def iter_masks_device(
         self,
         images_iter,
-        sizes: Sequence[int],
+        sizes: Optional[Sequence[int]] = None,
+        scales: Optional[Sequence[float]] = None,
         chunk: int = 8,
         smooth: bool = True,
         canvas_bucket: int = 32,
@@ -374,13 +422,17 @@ class Predictor:
         for im in images_iter:
             batch.append(im)
             if len(batch) == chunk:
-                submitted = self._submit_device_ms(batch, sizes, smooth, canvas_bucket)
+                submitted = self._submit_device_ms(
+                    batch, sizes, scales, smooth, canvas_bucket
+                )
                 if pending is not None:
                     yield from zip(pending[0], self._finish_device_ms(pending))
                 pending = submitted
                 batch = []
         if batch:
-            submitted = self._submit_device_ms(batch, sizes, smooth, canvas_bucket)
+            submitted = self._submit_device_ms(
+                batch, sizes, scales, smooth, canvas_bucket
+            )
             if pending is not None:
                 yield from zip(pending[0], self._finish_device_ms(pending))
             pending = submitted

@@ -214,6 +214,7 @@ class DenseCRF:
         self._unary_cost = jnp.zeros((self.N, self.M), dtype=jnp.float32)
         self._feats: List[jnp.ndarray] = []
         self._compats: List = []
+        self._ntypes: List[str] = []
 
     # -- wrapper.pyx surface ------------------------------------------------
     def npixels(self) -> int:
@@ -245,7 +246,8 @@ class DenseCRF:
 
     def inference(self, n_iters: int = 10) -> np.ndarray:
         q = exact.mean_field_general(
-            -self._unary_cost, self._feats, self._compats, n_iters=n_iters
+            -self._unary_cost, self._feats, self._compats, n_iters=n_iters,
+            norm_types=self._ntypes,
         )
         return np.asarray(q, dtype=np.float32).ravel()
 
@@ -257,11 +259,8 @@ class DenseCRF:
     def _apply_pairwise(self, k: int, q: jnp.ndarray) -> jnp.ndarray:
         """compat_k(filter_k(q)) for (N, M) q — one pairwise term's message."""
         kernel = exact.gaussian_kernel_matrix(self._feats[k].astype(jnp.float32))
-        nrm = exact.symmetric_norm(kernel)
-        filt = nrm[:, None] * jnp.dot(
-            kernel, nrm[:, None] * q, precision=jax.lax.Precision.HIGHEST
-        )
-        return self._compats[k](filt)
+        pre, post = exact.kernel_norm_weights(kernel, self._ntypes[k])
+        return self._compats[k](exact.normalized_filter(kernel, q, pre, post))
 
     def unary_energy(self, labels) -> np.ndarray:
         """Per-pixel unary cost of a labeling (densecrf.cpp:141-153)."""
@@ -312,16 +311,24 @@ class DenseCRF:
         return kl
 
     # -- densecrf.h extended surface ---------------------------------------
-    def add_pairwise_gaussian(self, sx, sy, compat) -> None:
+    def add_pairwise_gaussian(
+        self, sx, sy, compat, normalization: str = "symmetric"
+    ) -> None:
+        """``normalization`` mirrors the reference ``NormalizationType``
+        (pairwise.h:31-42): "no" | "before" | "after" | "symmetric"."""
         self._feats.append(spatial_features(self.H, self.W, float(sx), float(sy)))
         self._compats.append(compat)
+        self._ntypes.append(normalization)
 
-    def add_pairwise_bilateral(self, sx, sy, sr, sg, sb, image, compat) -> None:
+    def add_pairwise_bilateral(
+        self, sx, sy, sr, sg, sb, image, compat, normalization: str = "symmetric"
+    ) -> None:
         img = jnp.asarray(image, dtype=jnp.float32).reshape(self.H, self.W, 3)
         self._feats.append(
             bilateral_features(img, float(sx), float(sy), float(sr), float(sg), float(sb))
         )
         self._compats.append(compat)
+        self._ntypes.append(normalization)
 
 
 # ---------------------------------------------------------------------------

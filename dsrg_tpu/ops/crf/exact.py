@@ -54,6 +54,38 @@ def symmetric_norm(k: jnp.ndarray, precision=_HIGH) -> jnp.ndarray:
     return jax.lax.rsqrt(deg + 1e-20)
 
 
+def kernel_norm_weights(k: jnp.ndarray, ntype: str, precision=_HIGH):
+    """(pre, post) per-pixel weights for the forward filter, per the
+    reference ``DenseKernel`` normalization modes (pairwise.cpp:40-80,
+    transpose=false path):
+
+      - ``"no"``: raw K @ q (NO_NORMALIZATION applies no weights in filter());
+      - ``"before"``: K @ (q / deg);
+      - ``"after"``: (K @ q) / deg  (the NIPS'11 normalization);
+      - ``"symmetric"``: rsqrt(deg) both sides (ICML'13; the default and the
+        only mode DSRG exercises), with deg = K @ 1 (+1e-20).
+    Returns None for an unused side."""
+    ones = jnp.ones((k.shape[-1],), dtype=k.dtype)
+    deg = jnp.dot(k, ones, precision=precision, preferred_element_type=jnp.float32)
+    if ntype == "symmetric":
+        nrm = jax.lax.rsqrt(deg + 1e-20)
+        return nrm, nrm
+    if ntype == "before":
+        return 1.0 / (deg + 1e-20), None
+    if ntype == "after":
+        return None, 1.0 / (deg + 1e-20)
+    if ntype == "no":
+        return None, None
+    raise ValueError(f"unknown normalization type: {ntype!r}")
+
+
+def normalized_filter(k, q, pre, post, precision=_HIGH):
+    """post * (K @ (pre * q)) with either side optional."""
+    x = q if pre is None else pre[:, None] * q
+    out = jnp.dot(k, x, precision=precision, preferred_element_type=jnp.float32)
+    return out if post is None else post[:, None] * out
+
+
 def _softmax_cols(x: jnp.ndarray) -> jnp.ndarray:
     """expAndNormalize over the class axis (densecrf.cpp:98-106); x is (N, M)."""
     z = x - jnp.max(x, axis=-1, keepdims=True)
@@ -123,6 +155,7 @@ def mean_field_general(
     compat_fns: Sequence,
     n_iters: int = 10,
     precision=_HIGH,
+    norm_types: Sequence[str] | None = None,
 ) -> jnp.ndarray:
     """Mean field with arbitrary label-compatibility transforms.
 
@@ -130,18 +163,18 @@ def mean_field_general(
     output (e.g. Potts: ``lambda m: -w * m``; Diagonal: ``m * v``; Matrix:
     ``m @ W.T`` — signs per ``CRF/src/labelcompatibility.cpp:45-85``).  The
     update subtracts the compatibility output, matching
-    ``densecrf.cpp:122-129``.
+    ``densecrf.cpp:122-129``.  ``norm_types[k]`` picks the per-kernel filter
+    normalization (``kernel_norm_weights``); default symmetric everywhere.
     """
     kernels = [gaussian_kernel_matrix(f.astype(jnp.float32), precision) for f in feats_list]
-    norms = [symmetric_norm(k, precision) for k in kernels]
+    if norm_types is None:
+        norm_types = ["symmetric"] * len(kernels)
+    norms = [kernel_norm_weights(k, nt, precision) for k, nt in zip(kernels, norm_types)]
 
     q = _softmax_cols(unary)
     for _ in range(n_iters):
         tmp = unary
-        for k, nrm, compat in zip(kernels, norms, compat_fns):
-            filt = nrm[:, None] * jnp.dot(
-                k, nrm[:, None] * q, precision=precision, preferred_element_type=jnp.float32
-            )
-            tmp = tmp - compat(filt)
+        for k, (pre, post), compat in zip(kernels, norms, compat_fns):
+            tmp = tmp - compat(normalized_filter(k, q, pre, post, precision))
         q = _softmax_cols(tmp)
     return q

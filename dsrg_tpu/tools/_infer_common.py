@@ -42,12 +42,23 @@ def build_arg_parser(description: str) -> argparse.ArgumentParser:
                    help="CRF engine for --smooth (auto = exact below ~8k px, "
                         "matmul grid above; exact = parity at any size). "
                         "Engines other than auto/mmgrid force --batch 1.")
+    p.add_argument("--pipeline", default="auto", choices=["auto", "host", "device"],
+                   help="batched execution pipeline: device = whole multi-scale "
+                        "pass (resize/forward/fuse/CRF/argmax) as one device "
+                        "program per chunk, uint8 in/out — fastest over slow "
+                        "host<->device links; host = per-stage host round "
+                        "trips. auto = device for absolute sizes (reference-"
+                        "exact there), host for fractional scales (whose "
+                        "device forwards pad to a shared per-scale canvas).")
     return p
 
 
 def load_predictor(
     model_path: str, num_classes: int, model_name: str = "vgg16", bucket: int = 1
 ) -> Predictor:
+    from dsrg_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     if model_name == "resnet101":
         from dsrg_tpu.models import ResNet101DeepLab
 
@@ -79,12 +90,20 @@ def run_inference(
     def _load(i):
         return np.asarray(Image.open(osp.join(data_dir, i + ".jpg")).convert("RGB"))
 
-    if chunk > 1 and sizes is not None:
+    pipeline = getattr(args, "pipeline", "auto")
+    use_device = chunk > 1 and pipeline != "host" and (
+        sizes is not None or (pipeline == "device" and scales is not None)
+    )
+    if use_device:
         # device-resident streaming pipeline: uint8 canvases up, uint8 masks
         # down, one chunk in flight; reference-exact for absolute sizes
         # (every image forwards at exactly (s, s), no border padding)
         stream = predictor.iter_masks_device(
-            (_load(i) for i in image_ids), sizes, chunk=chunk, smooth=args.smooth
+            (_load(i) for i in image_ids),
+            sizes=sizes,
+            scales=scales,
+            chunk=chunk,
+            smooth=args.smooth,
         )
         for n, (img_id, (_, mask)) in enumerate(zip(image_ids, stream)):
             print(n, img_id, flush=True)

@@ -18,29 +18,63 @@ from dsrg_tpu.utils.palette import read_mask_png, write_png
 
 
 def run_coco(args, sizes=None, scales=None) -> float:
-    predictor = load_predictor(args.model, args.num_classes)
+    predictor = load_predictor(
+        args.model, args.num_classes, getattr(args, "model_name", "vgg16"),
+        bucket=int(getattr(args, "bucket", 1)),
+    )
     rows = [ln.strip().split() for ln in open(args.image_list) if ln.strip()]
     conf = ConfusionMatrix(args.num_classes)
     if args.output_dir and not osp.isdir(args.output_dir):
         os.makedirs(args.output_dir)
-    for index, row in enumerate(rows):
-        img_path = row[0]
-        gt_path = row[1] if len(rows[0]) > 1 else None
-        img = Image.open(osp.join(args.data_dir, img_path))
-        if img.mode != "RGB":  # reference skips non-RGB (test-coco-f.py)
-            print("skip non-RGB", img_path, flush=True)
-            continue
-        image = np.asarray(img)
-        mask = predictor.predict_mask(image, sizes=sizes, scales=scales, smooth=args.smooth)
+    has_gt = rows and len(rows[0]) > 1
+
+    def score(index, row, mask):
         if args.output_dir:
-            out = osp.splitext(osp.basename(img_path))[0] + ".png"
+            out = osp.splitext(osp.basename(row[0]))[0] + ".png"
             write_png(mask, osp.join(args.output_dir, out))
-        if gt_path:
-            gt = read_mask_png(osp.join(args.data_dir, gt_path))
+        if has_gt:
+            gt = read_mask_png(osp.join(args.data_dir, row[1]))
             conf.add(gt, mask)
             if (index + 1) % 100 == 0:
                 ave_j, _, _ = conf.jaccard()
                 print(f"{index + 1} images, running meanIOU: {ave_j:.4f}", flush=True)
+
+    engine = getattr(args, "engine", "auto")
+    chunk = max(int(getattr(args, "batch", 1)), 1)
+    pipeline = getattr(args, "pipeline", "auto")
+    use_device = chunk > 1 and pipeline != "host" and (
+        sizes is not None or (pipeline == "device" and scales is not None)
+    )
+    if use_device:
+        kept = []  # generator stays >= one chunk ahead of the mask stream
+
+        def gen():
+            for row in rows:
+                img = Image.open(osp.join(args.data_dir, row[0]))
+                if img.mode != "RGB":  # reference skips (test-coco-f.py)
+                    print("skip non-RGB", row[0], flush=True)
+                    continue
+                kept.append(row)
+                yield np.asarray(img)
+
+        stream = predictor.iter_masks_device(
+            gen(), sizes=sizes, scales=scales, chunk=chunk, smooth=args.smooth
+        )
+        for index, (_, mask) in enumerate(stream):
+            score(index, kept[index], mask)
+    else:
+        index = 0
+        for row in rows:
+            img = Image.open(osp.join(args.data_dir, row[0]))
+            if img.mode != "RGB":  # reference skips non-RGB (test-coco-f.py)
+                print("skip non-RGB", row[0], flush=True)
+                continue
+            mask = predictor.predict_mask(
+                np.asarray(img), sizes=sizes, scales=scales, smooth=args.smooth,
+                crf_engine=engine,
+            )
+            score(index, row, mask)
+            index += 1
     if conf.M.sum() > 0:
         ave_j, _, _ = conf.jaccard()
         print("final meanIOU:", ave_j)

@@ -98,6 +98,9 @@ def _override(cfg, args):
 
 def main(argv=None) -> None:
     args = parse_args(argv)
+    from dsrg_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32

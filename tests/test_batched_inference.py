@@ -84,6 +84,73 @@ def test_device_pipeline_matches_serial_nosmooth():
         assert agree > 0.99, agree
 
 
+def _np_rows(out_cap, in_cap, iv, ov):
+    """Independent numpy align-corners interpolation rows (same mapping the
+    device pipeline builds in-jit): out i -> in i*(iv-1)/(ov-1), clamped."""
+    i = np.arange(out_cap, dtype=np.float64)
+    scale = (iv - 1.0) / (ov - 1.0) if ov > 1 else 0.0
+    x = np.minimum(i * scale, max(iv - 1.0, 0.0))
+    lo = np.clip(np.floor(x), 0, max(iv - 2.0, 0.0)).astype(int)
+    frac = (x - lo).astype(np.float32)
+    rows = np.zeros((out_cap, in_cap), np.float32)
+    rows[np.arange(out_cap), lo] = 1.0 - frac
+    rows[np.arange(out_cap), np.minimum(lo + 1, in_cap - 1)] += frac
+    return rows
+
+
+def test_device_pipeline_scales_matches_numpy_oracle():
+    """Fractional-scales mode (test-ms-f semantics): each scale forwards on a
+    static 8k+1 canvas >= ceil(s*cap) with a dynamic round(s*dim) valid
+    extent, zero-masked beyond.  The padded-context perturbation itself is a
+    documented border effect (same class as the batched host canvas), so the
+    machinery — dynamic zoom rows, masking, score-grid crop, upsample — is
+    validated against an independent numpy oracle of the same semantics."""
+    from dsrg_tpu.data.voc import BGR_MEAN
+
+    predictor = _predictor()
+    rng = np.random.default_rng(5)
+    images = _images(rng)
+    scales = [0.75, 1.0, 1.25]
+    dev = predictor.predict_masks_device(
+        images, scales=scales, smooth=False, canvas_bucket=16
+    )
+
+    def bucket16(v):
+        return -(-v // 16) * 16
+
+    ph = bucket16(max(im.shape[0] for im in images))
+    pw = bucket16(max(im.shape[1] for im in images))
+
+    def cap8(v):
+        return int(-(-(int(np.ceil(v)) - 1) // 8) * 8 + 1)
+
+    for im, md in zip(images, dev):
+        h, w = im.shape[:2]
+        bgr = im[:, :, ::-1].astype(np.float32) - BGR_MEAN
+        scores = 0.0
+        for s in scales:
+            fh, fw = cap8(s * ph), cap8(s * pw)
+            vh, vw = int(round(s * h)), int(round(s * w))
+            xs = np.zeros((fh, fw, 3), np.float32)
+            rh = _np_rows(fh, h, h, vh)[:vh]
+            rw = _np_rows(fw, w, w, vw)[:vw]
+            t = np.einsum("oh,hwc->owc", rh, bgr)  # (vh, w, 3)
+            xs[:vh, :vw] = np.einsum("pw,owc->opc", rw, t)
+            sc = np.asarray(
+                predictor._fwd(predictor.variables, jnp.asarray(xs[None]))
+            )[0].astype(np.float32)
+            sv_h, sv_w = (vh - 1) // 8 + 1, (vw - 1) // 8 + 1
+            uh = _np_rows(ph, sc.shape[0], sv_h, h)[:h]
+            uw = _np_rows(pw, sc.shape[1], sv_w, w)[:w]
+            up = np.einsum("ph,hwc->pwc", uh, sc)
+            up = np.einsum("qw,pwc->pqc", uw, up)
+            scores = scores + up
+        oracle = scores.argmax(-1).astype(np.uint8)
+        assert md.shape == oracle.shape
+        agree = (md == oracle).mean()
+        assert agree > 0.99, agree
+
+
 def test_device_pipeline_matches_serial_smooth():
     predictor = _predictor()
     rng = np.random.default_rng(4)

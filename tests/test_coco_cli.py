@@ -52,3 +52,14 @@ def test_coco_stage_s_training_and_eval_cli(coco_tree, tmp_path):
     miou = run_coco(args, sizes=[40])
     assert np.isfinite(miou) and 0.0 <= miou <= 1.0
     assert osp.exists(osp.join(str(tmp_path / "preds"), "0.png"))
+
+    # batched device-resident pipeline (--batch 2): same tree, streaming mIoU
+    args = p.parse_args([
+        "--images", str(coco_tree / "list.txt"), "--dir", str(coco_tree),
+        "--model", params, "--output", str(tmp_path / "preds_dev"),
+        "--num-classes", "6", "--batch", "2",
+    ])
+    miou_dev = run_coco(args, sizes=[41])
+    assert np.isfinite(miou_dev) and 0.0 <= miou_dev <= 1.0
+    for i in range(3):
+        assert osp.exists(osp.join(str(tmp_path / "preds_dev"), f"{i}.png"))

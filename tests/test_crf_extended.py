@@ -129,3 +129,57 @@ def test_pydensecrf_compat():
     np.testing.assert_allclose(out.sum(-1), 1.0, atol=1e-5)
     # faithful_bug reproduces the reference's dead-code behavior
     np.testing.assert_array_equal(dense_crf(probs, img, faithful_bug=True), probs)
+
+
+def test_normalization_modes_match_numpy_oracle():
+    """NO/BEFORE/AFTER/SYMMETRIC filter normalizations (pairwise.cpp:40-80,
+    forward path) against an independent numpy mean-field oracle."""
+    rng = np.random.default_rng(7)
+    h, w, m = 4, 5, 3
+    n = h * w
+    image = rng.integers(0, 256, size=(h, w, 3)).astype(np.float32)
+    probs = rng.dirichlet(np.ones(m), size=n).astype(np.float32)
+
+    for ntype in ("no", "before", "after", "symmetric"):
+        crf = DenseCRF(w, h, m)
+        crf.set_unary_energy(-probs.ravel())
+        crf.add_pairwise_gaussian(3, 3, PottsCompatibility(3), normalization=ntype)
+        crf.add_pairwise_bilateral(
+            8, 8, 13, 13, 13, image, PottsCompatibility(10), normalization=ntype
+        )
+        got = crf.inference(n_iters=3).reshape(n, m)
+
+        # numpy oracle: dense K from features, mode-specific normalization
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        feats = [
+            np.stack([xx.ravel() / 3.0, yy.ravel() / 3.0], -1),
+            np.concatenate(
+                [
+                    np.stack([xx.ravel() / 8.0, yy.ravel() / 8.0], -1),
+                    image.reshape(n, 3) / 13.0,
+                ],
+                -1,
+            ),
+        ]
+        weights = [3.0, 10.0]
+        q = np.exp(probs) / np.exp(probs).sum(-1, keepdims=True)
+        # start_inference: softmax of -unary = softmax(probs)
+        for _ in range(3):
+            tmp = probs.copy()  # -unary
+            for f, wgt in zip(feats, weights):
+                d2 = ((f[:, None, :] - f[None, :, :]) ** 2).sum(-1)
+                K = np.exp(-0.5 * d2)
+                deg = K.sum(1)
+                if ntype == "symmetric":
+                    filt = (K @ (q / np.sqrt(deg + 1e-20)[:, None]))
+                    filt /= np.sqrt(deg + 1e-20)[:, None]
+                elif ntype == "before":
+                    filt = K @ (q / (deg + 1e-20)[:, None])
+                elif ntype == "after":
+                    filt = (K @ q) / (deg + 1e-20)[:, None]
+                else:
+                    filt = K @ q
+                tmp += wgt * filt  # subtract Potts(-w*filt)
+            e = np.exp(tmp - tmp.max(-1, keepdims=True))
+            q = e / e.sum(-1, keepdims=True)
+        np.testing.assert_allclose(got, q, rtol=2e-4, atol=2e-5)

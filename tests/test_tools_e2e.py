@@ -100,3 +100,37 @@ def test_train_infer_evaluate_pipeline(tiny_voc, tmp_path):
     assert content.startswith("meanIOU: ")
     miou = float(content.splitlines()[0].split()[1])
     assert 0.0 <= miou <= 1.0
+
+
+def test_infer_cli_device_pipeline_scales(tiny_voc, tmp_path):
+    """test-ms-f's fractional-scales mode through the device-resident
+    streaming pipeline (--pipeline device --batch 2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dsrg_tpu.models import DeepLabLargeFOV
+    from dsrg_tpu.tools._infer_common import build_arg_parser, run_inference
+    from dsrg_tpu.train.checkpoint import save_params
+
+    root, ids = tiny_voc
+    model = DeepLabLargeFOV(num_classes=21)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 41, 41, 3)), train=False
+    )["params"]
+    params_path = str(tmp_path / "rand_params")
+    save_params(params_path, params)
+
+    out_dir = str(tmp_path / "preds_dev")
+    args = build_arg_parser("").parse_args([
+        "--images", str(root / "val_id.txt"),
+        "--dir", str(root),
+        "--model", params_path,
+        "--output", out_dir,
+        "--batch", "2",
+        "--pipeline", "device",
+    ])
+    run_inference(args, scales=[0.75, 1.0])
+    for img_id in ids:
+        mask = np.asarray(Image.open(osp.join(out_dir, img_id + ".png")))
+        assert mask.shape == (45, 55)
+        assert mask.max() < 21
