@@ -59,3 +59,84 @@ class ServingModel:
 
     def __call__(self, images: np.ndarray) -> np.ndarray:
         return np.asarray(self._exported.call(jnp.asarray(images, jnp.float32)))
+
+
+def export_pipeline(
+    model,
+    variables,
+    path: str,
+    canvas_hw: Tuple[int, int] = (512, 512),
+    batch: int = 8,
+    sizes: Optional[Tuple[int, ...]] = (241, 321, 401),
+    scales: Optional[Tuple[float, ...]] = None,
+    smooth: bool = True,
+    num_classes: int = 21,
+    platforms: Optional[list] = None,
+) -> str:
+    """Serialize the ENTIRE multi-scale inference pipeline as one artifact.
+
+    The exported program is the device-resident test-ms/test-ms-f pipeline
+    (``inference.Predictor._build_device_ms``): dynamic per-image resizes to
+    each scale, one forward per scale, score fusion, floored softmax, masked
+    matmul-grid CRF, argmax.  I/O is serving-friendly: a (batch, H, W, 3)
+    uint8 RGB canvas + (batch, 2) true sizes in, (batch, H, W) uint8 masks
+    out — the whole reference ``test-ms.py:84-111`` predict_mask per image,
+    weights embedded, no framework code needed at load time.
+    """
+    from dsrg_tpu.inference import Predictor
+
+    pred = Predictor(model, variables, num_classes=num_classes)
+    ph, pw = int(canvas_hw[0]), int(canvas_hw[1])
+    inner = pred._build_device_ms(
+        ph, pw,
+        tuple(sizes) if sizes is not None else None,
+        tuple(scales) if scales is not None else None,
+        bool(smooth),
+    )
+
+    def fn(canvas_u8, dims):
+        return inner(pred.variables, canvas_u8, dims)
+
+    exp = jax_export.export(jax.jit(fn), platforms=platforms)(
+        jax.ShapeDtypeStruct((batch, ph, pw, 3), jnp.uint8),
+        jax.ShapeDtypeStruct((batch, 2), jnp.float32),
+    )
+    with open(path, "wb") as f:
+        f.write(exp.serialize())
+    return path
+
+
+class ServingPipeline:
+    """Load an exported pipeline artifact; list of RGB arrays in, masks out.
+
+    Handles the canvas packing/unpacking the exporter's program expects;
+    chunks longer lists into the exported batch size (padding the last chunk
+    with unit-size dummies whose outputs are dropped).
+    """
+
+    def __init__(self, path: str):
+        with open(path, "rb") as f:
+            self._exported = jax_export.deserialize(f.read())
+        self.batch, self.ph, self.pw, _ = self._exported.in_avals[0].shape
+
+    def __call__(self, images_rgb) -> list:
+        out = []
+        images_rgb = list(images_rgb)
+        for c0 in range(0, len(images_rgb), self.batch):
+            chunk = images_rgb[c0 : c0 + self.batch]
+            canvas = np.zeros((self.batch, self.ph, self.pw, 3), np.uint8)
+            dims = np.ones((self.batch, 2), np.float32)  # pad slots: unit size
+            for i, im in enumerate(chunk):
+                h, w = im.shape[:2]
+                if h > self.ph or w > self.pw:
+                    raise ValueError(
+                        f"image {h}x{w} exceeds exported canvas {self.ph}x{self.pw}"
+                    )
+                canvas[i, :h, :w] = np.asarray(im, np.uint8)
+                dims[i] = (h, w)
+            q = np.asarray(
+                self._exported.call(jnp.asarray(canvas), jnp.asarray(dims))
+            )
+            for i, im in enumerate(chunk):
+                out.append(q[i, : im.shape[0], : im.shape[1]])
+        return out
