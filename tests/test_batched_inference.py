@@ -162,3 +162,34 @@ def test_device_pipeline_matches_serial_smooth():
         ms = predictor.predict_mask(im, sizes=[41], smooth=True, crf_engine="mmgrid")
         agree = (md == ms).mean()
         assert agree > 0.99, agree
+
+
+def test_device_pipeline_fuzz_geometries():
+    """Randomized image sizes / scale sets / canvas buckets through both
+    modes of the device pipeline: guards the score-canvas cap logic (model
+    output size under Caffe ceil pooling differs from (s-1)//8+1 off the
+    8k+1 grid) and the dynamic valid-extent math for odd geometries."""
+    predictor = _predictor()
+    rng = np.random.default_rng(11)
+    for trial in range(4):
+        n = int(rng.integers(1, 4))
+        images = []
+        for _ in range(n):
+            h = int(rng.integers(21, 70))
+            w = int(rng.integers(21, 70))
+            images.append(rng.integers(0, 255, (h, w, 3)).astype(np.uint8))
+        bucket = int(rng.choice([8, 16, 32]))
+        if trial % 2 == 0:
+            sizes = sorted(int(rng.integers(24, 64)) for _ in range(2))
+            masks = predictor.predict_masks_device(
+                images, sizes=sizes, smooth=False, canvas_bucket=bucket
+            )
+        else:
+            scales = sorted(float(s) for s in rng.uniform(0.6, 1.4, size=2))
+            masks = predictor.predict_masks_device(
+                images, scales=scales, smooth=False, canvas_bucket=bucket
+            )
+        for im, mk in zip(images, masks):
+            assert mk.shape == im.shape[:2]
+            assert mk.dtype == np.uint8
+            assert mk.max() < predictor.num_classes
