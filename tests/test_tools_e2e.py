@@ -134,3 +134,17 @@ def test_infer_cli_device_pipeline_scales(tiny_voc, tmp_path):
         mask = np.asarray(Image.open(osp.join(out_dir, img_id + ".png")))
         assert mask.shape == (45, 55)
         assert mask.max() < 21
+
+
+def test_synth_check_smoke(tmp_path):
+    """The synthetic learning-sanity tool runs the full generate -> train ->
+    infer -> evaluate loop end-to-end (learning itself is asserted in the
+    real-TPU run recorded in STATUS.md, not in this 4-iteration smoke)."""
+    from dsrg_tpu.tools import synth_check
+
+    miou3 = synth_check.main([
+        "--work-dir", str(tmp_path / "synth"),
+        "--iters", "2", "--n-train", "6", "--n-val", "3",
+        "--size", "41", "--batch-size", "2", "--batch", "2",
+    ])
+    assert np.isfinite(miou3) and 0.0 <= miou3 <= 1.0
