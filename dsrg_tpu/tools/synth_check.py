@@ -98,9 +98,37 @@ def make_dataset(root: str, n_train: int, n_val: int, size: int, seed: int = 0):
     with open(osp.join(root, "input_list.txt"), "w") as f:
         for i, img_id in enumerate(train_ids):
             f.write(f"{img_id}.jpg {i}\n")
+    with open(osp.join(root, "train_aug_id.txt"), "w") as f:
+        f.write("\n".join(train_ids) + "\n")
     with open(osp.join(root, "val_id.txt"), "w") as f:
         f.write("\n".join(val_ids) + "\n")
     return root
+
+
+def _miou3(root: str, pred_dir: str) -> dict:
+    """Honest 3-class IoU (bg, circle, square) over the val predictions.
+
+    The reference's jaccard drops classes without a correct hit
+    (utils/confusion.py:85-92 quirk) — an all-background predictor scores
+    ~0.79 on background alone — so this is the actual learning signal."""
+    from dsrg_tpu.utils.confusion import ConfusionMatrix
+    from dsrg_tpu.utils.palette import read_mask_png
+
+    conf = ConfusionMatrix(21)
+    for img_id in open(osp.join(root, "val_id.txt")).read().split():
+        gt = read_mask_png(osp.join(root, "SegmentationClass", img_id + ".png"))
+        pred = read_mask_png(osp.join(pred_dir, img_id + ".png"))
+        conf.add(gt, pred)
+    m = conf.M
+    with np.errstate(divide="ignore", invalid="ignore"):
+        per = [
+            float(np.nan_to_num(m[i, i] / (m[i].sum() + m[:, i].sum() - m[i, i])))
+            for i in range(3)
+        ]
+    return {
+        "iou_bg_circle_square": [round(v, 4) for v in per],
+        "miou3": round(float(np.mean(per)), 4),
+    }
 
 
 def main(argv=None) -> float:
@@ -117,10 +145,41 @@ def main(argv=None) -> float:
     p.add_argument("--batch", type=int, default=8, help="inference chunk")
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--two-stage", action="store_true",
+                   help="run the FULL run.sh-equivalent recipe (stage-s train "
+                        "-> pseudo-GT dump -> stage-f retrain -> final "
+                        "predictions -> evaluate) via run_recipe instead of "
+                        "the single-stage loop")
+    p.add_argument("--iters2", type=int, default=None,
+                   help="stage-2 iterations (default: --iters)")
     args = p.parse_args(argv)
 
     root = osp.join(args.work_dir, "data")
     make_dataset(root, args.n_train, args.n_val, args.size, args.seed)
+
+    if args.two_stage:
+        from dsrg_tpu.tools import run_recipe
+
+        w = osp.join(args.work_dir, "recipe")
+        run_recipe.main([
+            "--pascal-dir", root, "--list-dir", root,
+            "--cues", osp.join(root, "cues.pickle"),
+            "--work-dir", w,
+            "--stage1-iters", str(args.iters),
+            "--stage2-iters", str(args.iters2 or args.iters),
+            "--dtype", args.dtype,
+            "--batch-size", str(args.batch_size),
+            "--crop-size", str(args.size),
+            "--test-sizes", str(args.size),
+            "--test-scales", "1.0",
+        ] + ([] if args.smooth else ["--no-smooth"]))
+        miou = float(
+            open(osp.join(w, "DSRG_result_final.txt")).read().splitlines()[0].split()[1]
+        )
+        out = {"synthetic_val_miou_refquirk": miou, "two_stage": True,
+               "iters": args.iters, **_miou3(root, osp.join(w, "DSRG_final_output"))}
+        print(json.dumps(out))
+        return out["miou3"]
 
     from dsrg_tpu.tools import evaluate as evaluate_tool
     from dsrg_tpu.tools import train as train_tool
@@ -164,31 +223,8 @@ def main(argv=None) -> float:
         "--class_num", "21",
     ])
     miou = float(open(result_path).read().splitlines()[0].split()[1])
-
-    # The reference's jaccard drops classes without a correct hit
-    # (utils/confusion.py:85-92 quirk) — an all-background predictor scores
-    # ~0.79 here on background alone.  Report the honest 3-class IoU
-    # (bg, circle, square) as the actual learning signal.
-    from dsrg_tpu.utils.confusion import ConfusionMatrix
-    from dsrg_tpu.utils.palette import read_mask_png
-
-    conf = ConfusionMatrix(21)
-    for img_id in open(osp.join(root, "val_id.txt")).read().split():
-        gt = read_mask_png(osp.join(root, "SegmentationClass", img_id + ".png"))
-        pred = read_mask_png(osp.join(pred_dir, img_id + ".png"))
-        conf.add(gt, pred)
-    m = conf.M
-    with np.errstate(divide="ignore", invalid="ignore"):
-        per = [
-            float(np.nan_to_num(m[i, i] / (m[i].sum() + m[:, i].sum() - m[i, i])))
-            for i in range(3)
-        ]
-    out = {
-        "synthetic_val_miou_refquirk": miou,
-        "iou_bg_circle_square": [round(v, 4) for v in per],
-        "miou3": round(float(np.mean(per)), 4),
-        "iters": args.iters,
-    }
+    out = {"synthetic_val_miou_refquirk": miou, "iters": args.iters,
+           **_miou3(root, pred_dir)}
     print(json.dumps(out))
     return out["miou3"]
 

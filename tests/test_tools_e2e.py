@@ -148,3 +148,18 @@ def test_synth_check_smoke(tmp_path):
         "--size", "41", "--batch-size", "2", "--batch", "2",
     ])
     assert np.isfinite(miou3) and 0.0 <= miou3 <= 1.0
+
+
+def test_synth_check_two_stage_smoke(tmp_path):
+    """--two-stage drives the full run.sh-equivalent recipe (stage-s ->
+    pseudo-GT dump -> stage-f -> final predictions -> evaluate) through
+    run_recipe on the synthetic tree."""
+    from dsrg_tpu.tools import synth_check
+
+    miou3 = synth_check.main([
+        "--work-dir", str(tmp_path / "synth2"),
+        "--iters", "2", "--n-train", "6", "--n-val", "3",
+        "--size", "41", "--batch-size", "2", "--batch", "2",
+        "--two-stage",
+    ])
+    assert np.isfinite(miou3) and 0.0 <= miou3 <= 1.0
