@@ -200,6 +200,48 @@ class MatrixCompatibility:
         return jnp.dot(m, self.mat.T, precision=jax.lax.Precision.HIGHEST)
 
 
+class ConstUnaryEnergy:
+    """Stored cost matrix, class-major (M, N) like the reference
+    (``unary.cpp:42-47``)."""
+
+    def __init__(self, unary_costs):
+        self.unary = np.asarray(unary_costs, np.float32)
+
+    def get(self) -> np.ndarray:
+        return self.unary
+
+    def parameters(self) -> np.ndarray:
+        return np.zeros((0,), np.float32)
+
+    def set_parameters(self, v) -> None:
+        pass
+
+    def gradient(self, b) -> np.ndarray:
+        return np.zeros((0,), np.float32)
+
+
+class LogisticUnaryEnergy:
+    """Learnable unary ``U = L @ f`` over (F, N) features with the
+    reference's parameter vector layout (column-major flatten) and
+    ``gradient(b) = b @ f.T`` (``unary.cpp:49-70``)."""
+
+    def __init__(self, L, features):
+        self.L = np.asarray(L, np.float32)
+        self.f = np.asarray(features, np.float32)
+
+    def get(self) -> np.ndarray:
+        return self.L @ self.f
+
+    def parameters(self) -> np.ndarray:
+        return self.L.reshape(-1, order="F").copy()
+
+    def set_parameters(self, v) -> None:
+        self.L = np.asarray(v, np.float32).reshape(self.L.shape, order="F")
+
+    def gradient(self, b) -> np.ndarray:
+        return (np.asarray(b, np.float32) @ self.f.T).reshape(-1, order="F")
+
+
 class DenseCRF:
     """API-compatible stand-in for the Cython ``DenseCRF`` wrapper class.
 
@@ -227,6 +269,12 @@ class DenseCRF:
         """Flat (N * M) float32 costs, pixel-major (densecrf_wrapper.cpp:32-37)."""
         u = jnp.asarray(unary_costs, dtype=jnp.float32).reshape(self.N, self.M)
         self._unary_cost = u
+
+    def set_unary(self, energy) -> None:
+        """``setUnaryEnergy(UnaryEnergy*)`` analog (densecrf.h:60-66):
+        accepts a ``ConstUnaryEnergy`` / ``LogisticUnaryEnergy`` whose
+        ``get()`` is class-major (M, N)."""
+        self._unary_cost = jnp.asarray(energy.get(), jnp.float32).T
 
     def add_pairwise_energy(
         self, w1, theta_alpha_1, theta_alpha_2,

@@ -183,3 +183,43 @@ def test_normalization_modes_match_numpy_oracle():
             e = np.exp(tmp - tmp.max(-1, keepdims=True))
             q = e / e.sum(-1, keepdims=True)
         np.testing.assert_allclose(got, q, rtol=2e-4, atol=2e-5)
+
+
+def test_unary_energy_classes():
+    """ConstUnaryEnergy / LogisticUnaryEnergy (unary.cpp:42-70): get(),
+    column-major parameter layout, and gradient(b) == autodiff of
+    sum(b * (L @ f)) w.r.t. L."""
+    import jax
+    from dsrg_tpu.ops.crf.api import ConstUnaryEnergy, LogisticUnaryEnergy
+
+    rng = np.random.default_rng(3)
+    m, fdim, n = 4, 5, 7
+    L = rng.normal(size=(m, fdim)).astype(np.float32)
+    f = rng.normal(size=(fdim, n)).astype(np.float32)
+    b = rng.normal(size=(m, n)).astype(np.float32)
+
+    e = LogisticUnaryEnergy(L, f)
+    np.testing.assert_allclose(e.get(), L @ f, rtol=1e-6)
+
+    # parameter vector round-trips through the reference's column-major layout
+    p = e.parameters()
+    e2 = LogisticUnaryEnergy(np.zeros_like(L), f)
+    e2.set_parameters(p)
+    np.testing.assert_array_equal(e2.L, L)
+
+    g = e.gradient(b)
+    auto = jax.grad(lambda Lj: jnp.sum(jnp.asarray(b) * (Lj @ jnp.asarray(f))))(
+        jnp.asarray(L)
+    )
+    np.testing.assert_allclose(
+        g, np.asarray(auto).reshape(-1, order="F"), rtol=1e-5, atol=1e-6
+    )
+
+    c = ConstUnaryEnergy(L @ f)
+    np.testing.assert_allclose(c.get(), L @ f)
+    assert c.parameters().size == 0
+
+    # set_unary plumbs a class-major energy into the pixel-major engine
+    crf = DenseCRF(n, 1, m)
+    crf.set_unary(e)
+    np.testing.assert_allclose(np.asarray(crf._unary_cost), (L @ f).T, rtol=1e-6)
