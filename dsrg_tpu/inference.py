@@ -72,7 +72,13 @@ def _masked_canvas_crf(images, unaries, masks):
 
 
 class Predictor:
-    def __init__(self, model, params, num_classes: int = 21, bucket: int = 1):
+    def __init__(self, model, params, num_classes: int = 21, bucket: int = 1,
+                 mesh=None):
+        """``mesh``: optional 1-axis ``jax.sharding.Mesh`` — the device
+        pipeline then runs data-parallel over it (batch sharded on the
+        ``data`` axis, weights replicated; chunks are padded up to a multiple
+        of the mesh size).  The reference has no multi-device inference at
+        all; here a serving fleet scales the same program over ICI."""
         self.model = model
         # accept either a bare params tree or a full variables dict
         # ({"params": ..., "batch_stats": ...} for BN backbones)
@@ -82,6 +88,7 @@ class Predictor:
             self.variables = {"params": params}
         self.num_classes = num_classes
         self.bucket = max(int(bucket), 1)
+        self.mesh = mesh
         self._fwd = jax.jit(
             lambda v, x: self.model.apply(v, x, train=False)
         )
@@ -336,7 +343,22 @@ class Predictor:
                 )(jnp.log(probs), canvas_u8.astype(jnp.float32), mask)
             return jnp.argmax(probs, axis=-1).astype(jnp.uint8)
 
-        return jax.jit(fn)
+        if self.mesh is None:
+            return jax.jit(fn)
+        from dsrg_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+        # data-parallel over the mesh: per-image work has no cross-image
+        # coupling, so batch sharding splits the whole pipeline with zero
+        # collectives; weights replicate once
+        return jax.jit(
+            fn,
+            in_shardings=(
+                replicated_sharding(self.mesh),
+                batch_sharding(self.mesh, 4),
+                batch_sharding(self.mesh, 2),
+            ),
+            out_shardings=batch_sharding(self.mesh, 3),
+        )
 
     def predict_masks_device(
         self,
@@ -380,15 +402,17 @@ class Predictor:
 
         ph = bucket(max(im.shape[0] for im in images_rgb))
         pw = bucket(max(im.shape[1] for im in images_rgb))
-        canvas = np.zeros((n, ph, pw, 3), np.uint8)
-        dims = np.zeros((n, 2), np.float32)
+        nd = 1 if self.mesh is None else int(self.mesh.devices.size)
+        np_batch = -(-n // nd) * nd  # pad to a mesh-divisible batch
+        canvas = np.zeros((np_batch, ph, pw, 3), np.uint8)
+        dims = np.ones((np_batch, 2), np.float32)  # pad slots: unit size
         for i, im in enumerate(images_rgb):
             h, w = im.shape[:2]
             canvas[i, :h, :w] = np.asarray(im, np.uint8)
             dims[i] = (h, w)
         sizes_t = tuple(sizes) if sizes is not None else None
         scales_t = tuple(scales) if scales is not None else None
-        key = (n, ph, pw, sizes_t, scales_t, bool(smooth))
+        key = (np_batch, ph, pw, sizes_t, scales_t, bool(smooth))
         fn = self._dev_ms_cache.get(key)
         if fn is None:
             fn = self._build_device_ms(ph, pw, sizes_t, scales_t, bool(smooth))

@@ -42,6 +42,10 @@ def build_arg_parser(description: str) -> argparse.ArgumentParser:
                    help="CRF engine for --smooth (auto = exact below ~8k px, "
                         "matmul grid above; exact = parity at any size). "
                         "Engines other than auto/mmgrid force --batch 1.")
+    p.add_argument("--mesh", action="store_true",
+                   help="data-parallel the device pipeline over all visible "
+                        "devices (1-axis mesh, batch sharded, weights "
+                        "replicated; chunks pad to a mesh-divisible batch)")
     p.add_argument("--pipeline", default="auto", choices=["auto", "host", "device"],
                    help="batched execution pipeline: device = whole multi-scale "
                         "pass (resize/forward/fuse/CRF/argmax) as one device "
@@ -54,7 +58,8 @@ def build_arg_parser(description: str) -> argparse.ArgumentParser:
 
 
 def load_predictor(
-    model_path: str, num_classes: int, model_name: str = "vgg16", bucket: int = 1
+    model_path: str, num_classes: int, model_name: str = "vgg16", bucket: int = 1,
+    mesh: bool = False,
 ) -> Predictor:
     from dsrg_tpu.utils.cache import enable_compile_cache
 
@@ -66,7 +71,14 @@ def load_predictor(
     else:
         model = DeepLabLargeFOV(num_classes=num_classes)
     params = load_params(model_path)
-    return Predictor(model, params, num_classes=num_classes, bucket=bucket)
+    mesh_obj = None
+    if mesh:
+        from dsrg_tpu.parallel.mesh import make_mesh
+
+        mesh_obj = make_mesh()
+    return Predictor(
+        model, params, num_classes=num_classes, bucket=bucket, mesh=mesh_obj
+    )
 
 
 def run_inference(
@@ -77,6 +89,7 @@ def run_inference(
     predictor = load_predictor(
         args.model, args.num_classes, getattr(args, "model_name", "vgg16"),
         bucket=int(getattr(args, "bucket", 1)),
+        mesh=bool(getattr(args, "mesh", False)),
     )
     image_ids = [ln.strip() for ln in open(args.image_list) if ln.strip()]
     data_dir = osp.join(args.data_dir, "JPEGImages")

@@ -41,6 +41,10 @@ def main(argv=None) -> None:
     p.add_argument("--engine", default="auto",
                    choices=["auto", "exact", "mmgrid", "lattice", "grid", "native"],
                    help="CRF engine for the inference stages")
+    p.add_argument("--pipeline", default="auto", choices=["auto", "host", "device"],
+                   help="batched inference pipeline for both dump stages "
+                        "(device = whole multi-scale pass on device; see "
+                        "test tools)")
     p.add_argument("--parity", action="store_true",
                    help="reference-parity mode: fp32 everywhere (training + "
                         "CRF mean field), exact per-shape forwards, serial "
@@ -78,7 +82,7 @@ def main(argv=None) -> None:
     train_tool.main(s_args)
     model_s = osp.join(w, "model-s", f"step_{args.stage1_iters}_params")
 
-    infer_overrides = ["--engine", args.engine]
+    infer_overrides = ["--engine", args.engine, "--pipeline", args.pipeline]
     if args.parity:
         infer_overrides += ["--batch", "1", "--bucket", "1"]
 

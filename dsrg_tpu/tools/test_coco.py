@@ -21,6 +21,7 @@ def run_coco(args, sizes=None, scales=None) -> float:
     predictor = load_predictor(
         args.model, args.num_classes, getattr(args, "model_name", "vgg16"),
         bucket=int(getattr(args, "bucket", 1)),
+        mesh=bool(getattr(args, "mesh", False)),
     )
     rows = [ln.strip().split() for ln in open(args.image_list) if ln.strip()]
     conf = ConfusionMatrix(args.num_classes)

@@ -193,3 +193,30 @@ def test_device_pipeline_fuzz_geometries():
             assert mk.shape == im.shape[:2]
             assert mk.dtype == np.uint8
             assert mk.max() < predictor.num_classes
+
+
+def test_device_pipeline_mesh_dp_matches_single():
+    """Data-parallel device pipeline over the 8-device virtual mesh: batch
+    sharding splits the per-image work with zero collectives, so masks must
+    equal the unsharded run (chunks pad up to a mesh-divisible batch)."""
+    from dsrg_tpu.parallel.mesh import make_mesh
+
+    model = DeepLabLargeFOV(num_classes=6, head_dilations=(2, 4))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 41, 41, 3)), train=False
+    )["params"]
+    rng = np.random.default_rng(6)
+    images = _images(rng, n=5)  # pads 5 -> 8 on the mesh
+
+    single = Predictor(model, params, num_classes=6)
+    sharded = Predictor(model, params, num_classes=6, mesh=make_mesh())
+    for kwargs in ({"sizes": [41]}, {"scales": [0.75, 1.0]}):
+        want = single.predict_masks_device(
+            images, smooth=False, canvas_bucket=16, **kwargs
+        )
+        got = sharded.predict_masks_device(
+            images, smooth=False, canvas_bucket=16, **kwargs
+        )
+        for w, g in zip(want, got):
+            agree = (w == g).mean()
+            assert agree > 0.999, agree
