@@ -7,8 +7,8 @@ unmodified, ``test.py:83``; we read the real final score map.)
 from dsrg_tpu.tools._infer_common import build_arg_parser, run_inference
 
 
-def main() -> None:
-    args = build_arg_parser(__doc__).parse_args()
+def main(argv=None) -> None:
+    args = build_arg_parser(__doc__).parse_args(argv)
     run_inference(args, sizes=[321])
 
 

@@ -4,8 +4,8 @@
 from dsrg_tpu.tools._infer_common import build_arg_parser, run_inference
 
 
-def main() -> None:
-    args = build_arg_parser(__doc__).parse_args()
+def main(argv=None) -> None:
+    args = build_arg_parser(__doc__).parse_args(argv)
     run_inference(args, scales=[0.75, 1.0, 1.25])
 
 

@@ -163,3 +163,21 @@ def test_synth_check_two_stage_smoke(tmp_path):
         "--two-stage",
     ])
     assert np.isfinite(miou3) and 0.0 <= miou3 <= 1.0
+
+
+def test_all_tools_accept_argv_and_help():
+    """Every CLI tool exposes main(argv) and a working --help (embeddability
+    + flag-surface smoke across the whole reference tool mirror)."""
+    import importlib
+
+    tools = [
+        "train", "test", "test_ms", "test_ms_f", "test_coco", "test_coco_f",
+        "evaluate", "ap", "dump_cues", "generate_train_gt", "show_result",
+        "run_recipe", "export", "synth_check",
+    ]
+    for name in tools:
+        mod = importlib.import_module(f"dsrg_tpu.tools.{name}")
+        try:
+            mod.main(["--help"])
+        except SystemExit as e:
+            assert e.code == 0, (name, e.code)
