@@ -96,7 +96,7 @@ def _grow_one(args):
     return grow_oracle(labels, cues, probs)
 
 
-def bench_reference_host_step(batch_size: int = 20, n_probe: int = 3):
+def bench_reference_host_step(batch_size: int = 20, n_probe: int = 5):
     """Per-step host cost of the reference python layers.
 
     CRF share: a faithful permutohedral-lattice C++ engine
