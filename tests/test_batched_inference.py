@@ -220,3 +220,26 @@ def test_device_pipeline_mesh_dp_matches_single():
         for w, g in zip(want, got):
             agree = (w == g).mean()
             assert agree > 0.999, agree
+
+
+def test_device_pipeline_resnet_backbone():
+    """The second model family (ResNet-101 DeepLab, BN batch_stats in the
+    variables dict) runs through both device-pipeline modes; output caps
+    come from the traced score shape, so the stride-8 geometry needs no
+    VGG-specific formula."""
+    from dsrg_tpu.models import ResNet101DeepLab
+
+    model = ResNet101DeepLab(num_classes=6, stage_blocks=(1, 1, 1, 1))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 41, 41, 3)), train=False
+    )
+    predictor = Predictor(model, variables, num_classes=6)
+    rng = np.random.default_rng(7)
+    images = _images(rng, n=2)
+    for kwargs in ({"sizes": [41]}, {"scales": [0.75, 1.0]}):
+        masks = predictor.predict_masks_device(
+            images, smooth=False, canvas_bucket=16, **kwargs
+        )
+        for im, mk in zip(images, masks):
+            assert mk.shape == im.shape[:2]
+            assert mk.max() < 6
