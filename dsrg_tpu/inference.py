@@ -30,6 +30,24 @@ from dsrg_tpu.ops.crf import CRF
 EPS = 1e-5  # probability floor (test-ms.py:102-103)
 
 
+def pack_canvas(images_rgb, batch: int, ph: int, pw: int):
+    """(canvas, dims) for the device pipeline: uint8 RGB images packed into
+    a zero (batch, ph, pw, 3) canvas with (batch, 2) true sizes.  Pad slots
+    get UNIT dims — load-bearing for the in-graph interp math (a zero extent
+    would divide by -1 in the align-corners map); their outputs are dropped.
+    Shared by the live Predictor and the exported ServingPipeline so the
+    packing convention cannot desynchronize from the compiled program."""
+    canvas = np.zeros((batch, ph, pw, 3), np.uint8)
+    dims = np.ones((batch, 2), np.float32)
+    for i, im in enumerate(images_rgb):
+        h, w = im.shape[:2]
+        if h > ph or w > pw:
+            raise ValueError(f"image {h}x{w} exceeds canvas {ph}x{pw}")
+        canvas[i, :h, :w] = np.asarray(im, np.uint8)
+        dims[i] = (h, w)
+    return canvas, dims
+
+
 def _dyn_interp_rows(out_cap: int, in_cap: int, in_valid, out_valid) -> jnp.ndarray:
     """(out_cap, in_cap) align-corners interpolation rows for DYNAMIC valid
     lengths living on static-width canvases.
@@ -395,6 +413,8 @@ class Predictor:
         WITHOUT materializing — jax dispatch is async, so a second chunk can
         be submitted (overlapping its host->device transfer and compute with
         the first chunk's) before ``_finish_device_ms`` pulls results."""
+        if (sizes is None) == (scales is None):
+            raise ValueError("exactly one of sizes/scales must be given")
         n = len(images_rgb)
 
         def bucket(v):
@@ -404,12 +424,7 @@ class Predictor:
         pw = bucket(max(im.shape[1] for im in images_rgb))
         nd = 1 if self.mesh is None else int(self.mesh.devices.size)
         np_batch = -(-n // nd) * nd  # pad to a mesh-divisible batch
-        canvas = np.zeros((np_batch, ph, pw, 3), np.uint8)
-        dims = np.ones((np_batch, 2), np.float32)  # pad slots: unit size
-        for i, im in enumerate(images_rgb):
-            h, w = im.shape[:2]
-            canvas[i, :h, :w] = np.asarray(im, np.uint8)
-            dims[i] = (h, w)
+        canvas, dims = pack_canvas(images_rgb, np_batch, ph, pw)
         sizes_t = tuple(sizes) if sizes is not None else None
         scales_t = tuple(scales) if scales is not None else None
         key = (np_batch, ph, pw, sizes_t, scales_t, bool(smooth))

@@ -120,20 +120,13 @@ class ServingPipeline:
         self.batch, self.ph, self.pw, _ = self._exported.in_avals[0].shape
 
     def __call__(self, images_rgb) -> list:
+        from dsrg_tpu.inference import pack_canvas
+
         out = []
         images_rgb = list(images_rgb)
         for c0 in range(0, len(images_rgb), self.batch):
             chunk = images_rgb[c0 : c0 + self.batch]
-            canvas = np.zeros((self.batch, self.ph, self.pw, 3), np.uint8)
-            dims = np.ones((self.batch, 2), np.float32)  # pad slots: unit size
-            for i, im in enumerate(chunk):
-                h, w = im.shape[:2]
-                if h > self.ph or w > self.pw:
-                    raise ValueError(
-                        f"image {h}x{w} exceeds exported canvas {self.ph}x{self.pw}"
-                    )
-                canvas[i, :h, :w] = np.asarray(im, np.uint8)
-                dims[i] = (h, w)
+            canvas, dims = pack_canvas(chunk, self.batch, self.ph, self.pw)
             q = np.asarray(
                 self._exported.call(jnp.asarray(canvas), jnp.asarray(dims))
             )

@@ -41,7 +41,9 @@ def build_arg_parser(description: str) -> argparse.ArgumentParser:
                    choices=["auto", "exact", "mmgrid", "lattice", "grid", "native"],
                    help="CRF engine for --smooth (auto = exact below ~8k px, "
                         "matmul grid above; exact = parity at any size). "
-                        "Engines other than auto/mmgrid force --batch 1.")
+                        "With --smooth, engines other than auto/mmgrid force "
+                        "serial per-image inference (the batched CRF is the "
+                        "masked matmul grid).")
     p.add_argument("--mesh", action="store_true",
                    help="data-parallel the device pipeline over all visible "
                         "devices (1-axis mesh, batch sharded, weights "
@@ -81,6 +83,31 @@ def load_predictor(
     )
 
 
+def resolve_pipeline(args, sizes, scales):
+    """(engine, chunk, pipeline, use_device) from the shared CLI flags.
+
+    One dispatch rule for every eval tool: a non-mmgrid CRF engine only
+    matters under ``--smooth`` and then forces serial per-image inference
+    (the batched/device CRF is the masked matmul grid) — contradicting an
+    explicit ``--pipeline device`` is an error rather than a silent
+    downgrade.  The device pipeline runs for absolute sizes whenever
+    batched, and for fractional scales only on explicit opt-in."""
+    engine = getattr(args, "engine", "auto")
+    chunk = max(int(getattr(args, "batch", 1)), 1)
+    pipeline = getattr(args, "pipeline", "auto")
+    if getattr(args, "smooth", False) and engine not in ("auto", "mmgrid"):
+        if pipeline == "device":
+            raise SystemExit(
+                f"--pipeline device smooths with the mmgrid engine; drop "
+                f"--engine {engine} or use --pipeline host"
+            )
+        chunk = 1
+    use_device = pipeline != "host" and (
+        sizes is not None or (pipeline == "device" and scales is not None)
+    ) and (chunk > 1 or pipeline == "device")
+    return engine, chunk, pipeline, use_device
+
+
 def run_inference(
     args,
     sizes: Optional[Sequence[int]] = None,
@@ -95,18 +122,10 @@ def run_inference(
     data_dir = osp.join(args.data_dir, "JPEGImages")
     if args.output_dir and not osp.isdir(args.output_dir):
         os.makedirs(args.output_dir)
-    engine = getattr(args, "engine", "auto")
-    chunk = max(int(getattr(args, "batch", 1)), 1)
-    if engine not in ("auto", "mmgrid"):
-        chunk = 1  # the batched CRF path is the masked matmul grid
+    engine, chunk, pipeline, use_device = resolve_pipeline(args, sizes, scales)
 
     def _load(i):
         return np.asarray(Image.open(osp.join(data_dir, i + ".jpg")).convert("RGB"))
-
-    pipeline = getattr(args, "pipeline", "auto")
-    use_device = chunk > 1 and pipeline != "host" and (
-        sizes is not None or (pipeline == "device" and scales is not None)
-    )
     if use_device:
         # device-resident streaming pipeline: uint8 canvases up, uint8 masks
         # down, one chunk in flight; reference-exact for absolute sizes

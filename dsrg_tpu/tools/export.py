@@ -35,10 +35,6 @@ def main(argv=None) -> None:
                    help="jax.export lowering platforms (e.g. tpu cpu)")
     args = p.parse_args(argv)
 
-    from dsrg_tpu.utils.cache import enable_compile_cache
-
-    enable_compile_cache()
-
     from dsrg_tpu.serving import export_deploy, export_pipeline
     from dsrg_tpu.tools._infer_common import load_predictor
 

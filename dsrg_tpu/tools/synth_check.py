@@ -144,6 +144,7 @@ def main(argv=None) -> float:
     p.add_argument("--smooth", action="store_true", help="CRF at inference")
     p.add_argument("--batch", type=int, default=8, help="inference chunk")
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--model-name", choices=["vgg16", "resnet101"], default="vgg16")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--two-stage", action="store_true",
                    help="run the FULL run.sh-equivalent recipe (stage-s train "
@@ -172,6 +173,7 @@ def main(argv=None) -> float:
             "--crop-size", str(args.size),
             "--test-sizes", str(args.size),
             "--test-scales", "1.0",
+            "--model", args.model_name,
         ] + ([] if args.smooth else ["--no-smooth"]))
         miou = float(
             open(osp.join(w, "DSRG_result_final.txt")).read().splitlines()[0].split()[1]
@@ -198,6 +200,7 @@ def main(argv=None) -> float:
         "--snapshot-every", str(args.iters),
         "--display", "25",
         "--dtype", args.dtype,
+        "--model", args.model_name,
     ])
     params_path = osp.join(snap_dir, f"step_{args.iters}_params")
 
@@ -208,6 +211,7 @@ def main(argv=None) -> float:
         "--model", params_path,
         "--output", pred_dir,
         "--batch", str(args.batch),
+        "--model-name", args.model_name,
     ] + (["--smooth"] if args.smooth else [])
     run_inference(
         build_arg_parser("").parse_args(infer_argv),

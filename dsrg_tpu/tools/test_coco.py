@@ -40,38 +40,59 @@ def run_coco(args, sizes=None, scales=None) -> float:
                 ave_j, _, _ = conf.jaccard()
                 print(f"{index + 1} images, running meanIOU: {ave_j:.4f}", flush=True)
 
-    engine = getattr(args, "engine", "auto")
-    chunk = max(int(getattr(args, "batch", 1)), 1)
-    pipeline = getattr(args, "pipeline", "auto")
-    use_device = chunk > 1 and pipeline != "host" and (
-        sizes is not None or (pipeline == "device" and scales is not None)
-    )
+    from dsrg_tpu.tools._infer_common import resolve_pipeline
+
+    engine, chunk, pipeline, use_device = resolve_pipeline(args, sizes, scales)
+
+    def rgb_rows():
+        for row in rows:
+            img = Image.open(osp.join(args.data_dir, row[0]))
+            if img.mode != "RGB":  # reference skips non-RGB (test-coco-f.py)
+                print("skip non-RGB", row[0], flush=True)
+                continue
+            yield row, np.asarray(img)
+
     if use_device:
         kept = []  # generator stays >= one chunk ahead of the mask stream
 
         def gen():
-            for row in rows:
-                img = Image.open(osp.join(args.data_dir, row[0]))
-                if img.mode != "RGB":  # reference skips (test-coco-f.py)
-                    print("skip non-RGB", row[0], flush=True)
-                    continue
+            for row, img in rgb_rows():
                 kept.append(row)
-                yield np.asarray(img)
+                yield img
 
         stream = predictor.iter_masks_device(
             gen(), sizes=sizes, scales=scales, chunk=chunk, smooth=args.smooth
         )
         for index, (_, mask) in enumerate(stream):
             score(index, kept[index], mask)
+    elif chunk > 1:
+        # batched host path: one forward per scale per chunk
+        index = 0
+        batch_rows, batch_imgs = [], []
+
+        def flush():
+            nonlocal index
+            masks = predictor.predict_masks(
+                batch_imgs, sizes=sizes, scales=scales, smooth=args.smooth
+            )
+            for row, mask in zip(batch_rows, masks):
+                score(index, row, mask)
+                index += 1
+            batch_rows.clear()
+            batch_imgs.clear()
+
+        for row, img in rgb_rows():
+            batch_rows.append(row)
+            batch_imgs.append(img)
+            if len(batch_imgs) == chunk:
+                flush()
+        if batch_imgs:
+            flush()
     else:
         index = 0
-        for row in rows:
-            img = Image.open(osp.join(args.data_dir, row[0]))
-            if img.mode != "RGB":  # reference skips non-RGB (test-coco-f.py)
-                print("skip non-RGB", row[0], flush=True)
-                continue
+        for row, img in rgb_rows():
             mask = predictor.predict_mask(
-                np.asarray(img), sizes=sizes, scales=scales, smooth=args.smooth,
+                img, sizes=sizes, scales=scales, smooth=args.smooth,
                 crf_engine=engine,
             )
             score(index, row, mask)

@@ -181,3 +181,54 @@ def test_all_tools_accept_argv_and_help():
             mod.main(["--help"])
         except SystemExit as e:
             assert e.code == 0, (name, e.code)
+
+
+def test_resolve_pipeline_contract():
+    """Shared CLI dispatch: contradictory --pipeline device + non-mmgrid
+    --smooth engine errors instead of silently downgrading; non-mmgrid
+    engines force serial only under --smooth; the device pipeline honors an
+    explicit request even at --batch 1."""
+    import pytest as _pytest
+
+    from dsrg_tpu.tools._infer_common import build_arg_parser, resolve_pipeline
+
+    def parse(extra):
+        return build_arg_parser("").parse_args(
+            ["--images", "x", "--dir", "y", "--model", "z"] + extra
+        )
+
+    with _pytest.raises(SystemExit):
+        resolve_pipeline(parse(["--smooth", "--engine", "exact",
+                                "--pipeline", "device"]), [41], None)
+
+    _, chunk, _, dev = resolve_pipeline(
+        parse(["--smooth", "--engine", "exact", "--batch", "8"]), [41], None)
+    assert chunk == 1 and not dev
+
+    _, chunk, _, dev = resolve_pipeline(
+        parse(["--engine", "exact", "--batch", "8"]), [41], None)
+    assert chunk == 8 and dev  # engine only matters under --smooth
+
+    _, _, _, dev = resolve_pipeline(
+        parse(["--batch", "1", "--pipeline", "device"]), None, [1.0])
+    assert dev  # explicit device honored even serial
+
+
+def test_predict_masks_device_requires_one_mode():
+    import pytest as _pytest
+
+    from dsrg_tpu.inference import Predictor
+    from dsrg_tpu.models import DeepLabLargeFOV
+    import jax
+    import jax.numpy as jnp
+
+    model = DeepLabLargeFOV(num_classes=6, head_dilations=(2, 4))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 41, 41, 3)), train=False
+    )["params"]
+    p = Predictor(model, params, num_classes=6)
+    img = np.zeros((40, 40, 3), np.uint8)
+    with _pytest.raises(ValueError):
+        p.predict_masks_device([img])
+    with _pytest.raises(ValueError):
+        p.predict_masks_device([img], sizes=[41], scales=[1.0])
