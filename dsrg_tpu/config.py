@@ -24,6 +24,9 @@ class Stage1Config:
     th2: float = 0.85
     crf_scale_factor: float = 12.0   # pylayers.py:82,335
     crf_iters: int = 10
+    crf_true_grad: bool = False      # True: autodiff through the mean field
+                                     # (CRF-as-RNN) instead of the reference's
+                                     # heuristic (1-Q)*g CRFLayer backward
     crf_fast: bool = False           # bf16 CRF kernel matmuls; False = reference
                                      # fp32 mean field (bench/recipes opt in)
     fast_dropout_rng: bool = True    # hardware RngBitGenerator for dropout masks

@@ -483,3 +483,26 @@ def _crf_refine_with_log_bwd(scale_factor, maxiter, fast, res, cts):
 
 
 crf_refine_with_log.defvjp(_crf_refine_with_log_fwd, _crf_refine_with_log_bwd)
+
+
+def crf_refine_with_log_truegrad(
+    probs: jnp.ndarray,
+    images: jnp.ndarray,
+    scale_factor: float = 12.0,
+    maxiter: int = 10,
+    fast: bool = False,
+):
+    """``crf_refine_with_log`` with the TRUE mean-field Jacobian.
+
+    The reference's ``CRFLayer`` backward is the heuristic ``(1 - Q) * g``
+    (``pylayers.py:90-92``) because differentiating through the C++ engine
+    was impossible there.  Here the mean-field loop is ordinary traced JAX,
+    so reverse-mode autodiff through all ``maxiter`` iterations — the
+    CRF-as-RNN formulation (Zheng et al. 2015) — is available as an opt-in
+    (``Stage1Config.crf_true_grad``) capability the reference never had.
+    ``Q`` for the region grower stays detached like the heuristic path.
+    """
+    q = crf_refine_probs(
+        probs, images, scale_factor=scale_factor, maxiter=maxiter, fast=fast
+    )
+    return jnp.log(q), jax.lax.stop_gradient(q)

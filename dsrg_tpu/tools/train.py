@@ -57,6 +57,10 @@ def parse_args(argv=None):
     p.add_argument("--crf-fast", action="store_true",
                    help="bf16 CRF kernel matmuls in the stage-s step (throughput "
                         "opt-in; default is the reference's fp32 mean field)")
+    p.add_argument("--crf-true-grad", action="store_true",
+                   help="backprop the TRUE mean-field Jacobian (CRF-as-RNN) "
+                        "through the stage-s CRF instead of the reference's "
+                        "heuristic (1-Q)*g CRFLayer backward")
     p.add_argument("--no-mesh", action="store_true", help="force single-device")
     p.add_argument("--auto-resume", action="store_true",
                    help="resume from the latest snapshot in --snapshot-dir if present")
@@ -93,6 +97,8 @@ def _override(cfg, args):
     changes["compute_dtype"] = args.dtype
     if getattr(args, "crf_fast", False) and hasattr(cfg, "crf_fast"):
         changes["crf_fast"] = True
+    if getattr(args, "crf_true_grad", False) and hasattr(cfg, "crf_true_grad"):
+        changes["crf_true_grad"] = True
     return dataclasses.replace(cfg, **changes)
 
 

@@ -26,7 +26,7 @@ import optax
 
 from dsrg_tpu.config import Stage1Config
 from dsrg_tpu.losses import balanced_seed_loss, constrain_loss
-from dsrg_tpu.ops.crf import crf_refine_with_log
+from dsrg_tpu.ops.crf import crf_refine_with_log, crf_refine_with_log_truegrad
 from dsrg_tpu.ops.grow import dsrg_grow
 from dsrg_tpu.ops.softmax import MIN_PROB, clamp_straight_through, floored_softmax
 from dsrg_tpu.train.optimizer import caffe_sgd, lr_step
@@ -89,7 +89,11 @@ def make_stage1_step(
             probs = floored_softmax(scores)
             # CRFLayer blob mutation: clamp values, identity gradient
             probs = clamp_straight_through(probs, MIN_PROB)
-            q_log, q = crf_refine_with_log(
+            refine = (
+                crf_refine_with_log_truegrad if cfg.crf_true_grad
+                else crf_refine_with_log
+            )
+            q_log, q = refine(
                 probs, images, cfg.crf_scale_factor, cfg.crf_iters, cfg.crf_fast
             )
             cues_new = dsrg_grow(labels, cues, q, th1=cfg.th1, th2=cfg.th2)

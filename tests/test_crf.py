@@ -110,3 +110,41 @@ def test_crf_native_engine_matches_exact():
     got = CRF(image, probs, maxiter=5, scale_factor=12.0, engine="native")
     ref = np.asarray(CRF(image, probs, maxiter=5, scale_factor=12.0, engine="exact"))
     np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_truegrad_refine_matches_numeric_gradient():
+    """crf_refine_with_log_truegrad backprops the TRUE mean-field Jacobian
+    (CRF-as-RNN opt-in): autodiff through the full refinement == central
+    differences; the heuristic path differs (it is (1-Q)*g by design)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dsrg_tpu.ops.crf import crf_refine_with_log, crf_refine_with_log_truegrad
+
+    rng = np.random.default_rng(11)
+    b, h, w, m = 1, 6, 5, 3
+    probs = rng.dirichlet(np.ones(m), size=(b, h, w)).astype(np.float32)
+    images = rng.normal(size=(b, h * 8 - 7, w * 8 - 7, 3)).astype(np.float32) * 30
+    cot = rng.normal(size=(b, h, w, m)).astype(np.float32)
+
+    def loss(p):
+        q_log, _ = crf_refine_with_log_truegrad(p, jnp.asarray(images), 12.0, 3)
+        return jnp.sum(q_log * jnp.asarray(cot))
+
+    g_auto = np.asarray(jax.grad(loss)(jnp.asarray(probs)), np.float64)
+
+    eps = 1e-3
+    idxs = [(0, 1, 2, 0), (0, 3, 4, 1), (0, 5, 0, 2), (0, 0, 0, 0)]
+    for idx in idxs:
+        pp = probs.copy(); pp[idx] += eps
+        pm = probs.copy(); pm[idx] -= eps
+        num = (float(loss(jnp.asarray(pp))) - float(loss(jnp.asarray(pm)))) / (2 * eps)
+        assert abs(num - g_auto[idx]) < 5e-2 * max(1.0, abs(num)), (idx, num, g_auto[idx])
+
+    # and the heuristic path really is different (not accidentally aliased)
+    def loss_h(p):
+        q_log, _ = crf_refine_with_log(p, jnp.asarray(images), 12.0, 3, False)
+        return jnp.sum(q_log * jnp.asarray(cot))
+
+    g_heur = np.asarray(jax.grad(loss_h)(jnp.asarray(probs)), np.float64)
+    assert not np.allclose(g_auto, g_heur, rtol=1e-2, atol=1e-4)
