@@ -145,6 +145,8 @@ def main(argv=None) -> float:
     p.add_argument("--batch", type=int, default=8, help="inference chunk")
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--model-name", choices=["vgg16", "resnet101"], default="vgg16")
+    p.add_argument("--crf-true-grad", action="store_true",
+                   help="train with the true mean-field Jacobian (CRF-as-RNN)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--two-stage", action="store_true",
                    help="run the FULL run.sh-equivalent recipe (stage-s train "
@@ -201,7 +203,7 @@ def main(argv=None) -> float:
         "--display", "25",
         "--dtype", args.dtype,
         "--model", args.model_name,
-    ])
+    ] + (["--crf-true-grad"] if args.crf_true_grad else []))
     params_path = osp.join(snap_dir, f"step_{args.iters}_params")
 
     pred_dir = osp.join(args.work_dir, "preds")
