@@ -63,3 +63,23 @@ def test_run_recipe_end_to_end(voc_tree, tmp_path):
     for i in range(3):
         assert osp.exists(osp.join(work, "DSRGOutput", f"2007_{i:06d}.png"))
         assert osp.exists(osp.join(work, "DSRG_final_output", f"2007_{i:06d}.png"))
+
+
+def test_run_recipe_parity_mode(voc_tree, tmp_path):
+    """--parity: fp32 everywhere, serial per-image inference (batch 1,
+    bucket 1), CRF smoothing through the engine dispatcher — the documented
+    reference-parity configuration runs end-to-end."""
+    root, lists, base = voc_tree
+    from dsrg_tpu.tools import run_recipe
+
+    work = str(base / "work_parity")
+    run_recipe.main([
+        "--pascal-dir", str(root), "--list-dir", str(lists),
+        "--cues", str(base / "cues.pickle"), "--work-dir", work,
+        "--stage1-iters", "1", "--stage2-iters", "1",
+        "--batch-size", "2", "--crop-size", "41",
+        "--test-sizes", "41", "--test-scales", "1.0",
+        "--parity",
+    ])
+    result = open(osp.join(work, "DSRG_result_final.txt")).read()
+    assert result.startswith("meanIOU: ")
