@@ -63,3 +63,32 @@ def test_coco_stage_s_training_and_eval_cli(coco_tree, tmp_path):
     assert np.isfinite(miou_dev) and 0.0 <= miou_dev <= 1.0
     for i in range(3):
         assert osp.exists(osp.join(str(tmp_path / "preds_dev"), f"{i}.png"))
+
+
+def test_coco_f_device_pipeline_scales(coco_tree, tmp_path):
+    """test-coco-f's scales mode through the streaming device pipeline
+    (--pipeline device --batch 2) with running mIoU."""
+    import jax
+    import jax.numpy as jnp
+
+    from dsrg_tpu.models import DeepLabLargeFOV
+    from dsrg_tpu.tools._infer_common import build_arg_parser
+    from dsrg_tpu.tools.test_coco import run_coco
+    from dsrg_tpu.train.checkpoint import save_params
+
+    model = DeepLabLargeFOV(num_classes=6)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 41, 41, 3)), train=False
+    )["params"]
+    params_path = str(tmp_path / "rp")
+    save_params(params_path, params)
+
+    args = build_arg_parser("").parse_args([
+        "--images", str(coco_tree / "list.txt"), "--dir", str(coco_tree),
+        "--model", params_path, "--output", str(tmp_path / "pf"),
+        "--num-classes", "6", "--batch", "2", "--pipeline", "device",
+    ])
+    miou = run_coco(args, scales=[1.0])
+    assert np.isfinite(miou) and 0.0 <= miou <= 1.0
+    for i in range(3):
+        assert osp.exists(osp.join(str(tmp_path / "pf"), f"{i}.png"))
