@@ -3,14 +3,17 @@
 The reference has no automated check that its pipeline actually learns
 (SURVEY.md §4: quality control was entirely empirical); VOC data is also not
 always at hand.  This tool generates a self-contained weakly-supervised
-dataset — colored shapes on textured backgrounds, with SPARSE seed cues in
-the reference's pickle format (a few cue points per object + background
-points, standing in for CAM + saliency seeds) — then runs the REAL stage-1
-DSRG trainer from scratch, the real multi-scale inference CLI path, and the
-real evaluator, reporting val mIoU.  Random predictions score ~0.02 mIoU
-here; a working DSRG stack reaches >0.5 within a few hundred iterations
-because the seed loss + region growing expand the sparse cues to the full
-shapes.
+dataset (``dsrg_tpu.data.synth`` — sparse seed cues in the reference's
+pickle format standing in for CAM + saliency seeds), then runs the REAL
+stage-1 DSRG trainer from scratch, the real multi-scale inference CLI path,
+and the real evaluator, reporting val mIoU.  Random predictions score ~0.02
+mIoU here; a working DSRG stack reaches >0.5 within a few hundred
+iterations because the seed loss + region growing expand the sparse cues to
+the full shapes.
+
+Two dataset profiles (``--profile``): ``easy`` (round-2 two-class smoke set)
+and ``voc`` (20 fg classes, occlusion, variable sizes, texture overlap —
+the standing VOC-difficulty accuracy proxy; see ``data/synth.py``).
 
 Usage::
 
@@ -20,93 +23,35 @@ Usage::
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
-import os
 import os.path as osp
 
 import numpy as np
-from PIL import Image
+
+from dsrg_tpu.data.synth import PROFILES, make_dataset as _synth_make_dataset
 
 
-FG_COLORS = {1: (205, 60, 55), 2: (55, 190, 70)}  # class -> RGB mean
+def make_dataset(root: str, n_train: int, n_val: int, size: int, seed: int = 0,
+                 profile: str = "easy", progress_every: int = 0):
+    """Back-compat wrapper: build the profile's spec at image/crop ``size``.
+
+    For the ``easy`` profile ``size`` fixes the (square) image size exactly
+    as in round 2; for ``voc`` it sets the training crop/resize geometry
+    while image sizes vary per the profile."""
+    spec = PROFILES[profile]
+    overrides = dict(
+        crop_size=size, cue_grid=(size - 1) // 8 + 1,
+    )
+    if spec.square:
+        overrides.update(size_min=size, size_max=size)
+    spec = dataclasses.replace(spec, **overrides)
+    return _synth_make_dataset(root, n_train, n_val, spec, seed=seed,
+                               progress_every=progress_every)
 
 
-def _make_image(rng, size: int, n_obj: int):
-    """One (image, gt) pair: noisy gray background + colored shapes."""
-    base = rng.integers(90, 140)
-    img = np.full((size, size, 3), base, np.float32)
-    img += rng.normal(0, 12, img.shape)
-    gt = np.zeros((size, size), np.uint8)
-    yy, xx = np.mgrid[0:size, 0:size]
-    for _ in range(n_obj):
-        cls = int(rng.integers(1, 3))
-        r = int(rng.integers(size // 6, size // 3))
-        cy = int(rng.integers(r, size - r))
-        cx = int(rng.integers(r, size - r))
-        if cls == 1:  # circle
-            mask = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
-        else:  # square
-            mask = (np.abs(yy - cy) <= r) & (np.abs(xx - cx) <= r)
-        color = np.asarray(FG_COLORS[cls], np.float32)
-        img[mask] = color + rng.normal(0, 10, (int(mask.sum()), 3))
-        gt[mask] = cls
-    return np.clip(img, 0, 255).astype(np.uint8), gt
-
-
-def _cues_from_gt(rng, gt: np.ndarray, cue_size: int, n_fg: int = 12, n_bg: int = 40):
-    """Sparse (class, row, col) cue points on the score grid, seed-style:
-    foreground points only well inside objects (the whole 8x stride cell is
-    in-class), background points anywhere background."""
-    stride = max(gt.shape[0] // cue_size, 1)
-    small = gt[:: stride, :: stride][:cue_size, :cue_size]
-    cs, rs, cols = [], [], []
-    for cls in np.unique(small):
-        ys, xs = np.nonzero(small == cls)
-        if len(ys) == 0:
-            continue
-        take = n_bg if cls == 0 else n_fg
-        sel = rng.choice(len(ys), size=min(take, len(ys)), replace=False)
-        cs.extend([int(cls)] * len(sel))
-        rs.extend(ys[sel].tolist())
-        cols.extend(xs[sel].tolist())
-    return np.asarray(cs), np.asarray(rs), np.asarray(cols)
-
-
-def make_dataset(root: str, n_train: int, n_val: int, size: int, seed: int = 0):
-    from dsrg_tpu.data.cues import save_cue_db
-    from dsrg_tpu.utils.palette import write_png
-
-    rng = np.random.default_rng(seed)
-    os.makedirs(osp.join(root, "JPEGImages"), exist_ok=True)
-    os.makedirs(osp.join(root, "SegmentationClass"), exist_ok=True)
-    cue_size = (size - 1) // 8 + 1
-    entries = {}
-    train_ids, val_ids = [], []
-    for i in range(n_train + n_val):
-        img, gt = _make_image(rng, size, n_obj=int(rng.integers(1, 3)))
-        img_id = f"synth_{i:05d}"
-        Image.fromarray(img).save(osp.join(root, "JPEGImages", img_id + ".jpg"))
-        write_png(gt, osp.join(root, "SegmentationClass", img_id + ".png"))
-        if i < n_train:
-            train_ids.append(img_id)
-            c, r, col = _cues_from_gt(rng, gt, cue_size)
-            fg = np.unique(c[c > 0]) if len(c) else np.asarray([], np.int64)
-            entries[i] = (fg, (c, r, col))
-        else:
-            val_ids.append(img_id)
-    save_cue_db(osp.join(root, "cues.pickle"), entries)
-    with open(osp.join(root, "input_list.txt"), "w") as f:
-        for i, img_id in enumerate(train_ids):
-            f.write(f"{img_id}.jpg {i}\n")
-    with open(osp.join(root, "train_aug_id.txt"), "w") as f:
-        f.write("\n".join(train_ids) + "\n")
-    with open(osp.join(root, "val_id.txt"), "w") as f:
-        f.write("\n".join(val_ids) + "\n")
-    return root
-
-
-def _miou3(root: str, pred_dir: str) -> dict:
-    """Honest 3-class IoU (bg, circle, square) over the val predictions.
+def _miou_fg(root: str, pred_dir: str, ids_file: str = "val_id.txt") -> dict:
+    """Honest mIoU over background + every fg class present in the val gt.
 
     The reference's jaccard drops classes without a correct hit
     (utils/confusion.py:85-92 quirk) — an all-background predictor scores
@@ -115,20 +60,27 @@ def _miou3(root: str, pred_dir: str) -> dict:
     from dsrg_tpu.utils.palette import read_mask_png
 
     conf = ConfusionMatrix(21)
-    for img_id in open(osp.join(root, "val_id.txt")).read().split():
+    present = {0}
+    for img_id in open(osp.join(root, ids_file)).read().split():
         gt = read_mask_png(osp.join(root, "SegmentationClass", img_id + ".png"))
         pred = read_mask_png(osp.join(pred_dir, img_id + ".png"))
+        present.update(np.unique(gt).tolist())
         conf.add(gt, pred)
     m = conf.M
+    classes = sorted(c for c in present if c < 21)
     with np.errstate(divide="ignore", invalid="ignore"):
         per = [
             float(np.nan_to_num(m[i, i] / (m[i].sum() + m[:, i].sum() - m[i, i])))
-            for i in range(3)
+            for i in classes
         ]
     return {
-        "iou_bg_circle_square": [round(v, 4) for v in per],
+        "classes_present": classes,
+        "iou_per_class": [round(v, 4) for v in per],
         "miou3": round(float(np.mean(per)), 4),
     }
+
+
+_miou3 = _miou_fg  # round-2 name, kept for external callers
 
 
 def main(argv=None) -> float:
@@ -138,6 +90,9 @@ def main(argv=None) -> float:
     p.add_argument("--n-train", type=int, default=64)
     p.add_argument("--n-val", type=int, default=16)
     p.add_argument("--size", type=int, default=321, help="image/crop size")
+    p.add_argument("--profile", choices=sorted(PROFILES), default="easy",
+                   help="dataset difficulty (easy: 2-class smoke set; voc: "
+                        "20 classes, occlusion, varied sizes, texture overlap)")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--sizes", type=int, nargs="+", default=None,
                    help="inference scale sizes (default: [size])")
@@ -158,7 +113,9 @@ def main(argv=None) -> float:
     args = p.parse_args(argv)
 
     root = osp.join(args.work_dir, "data")
-    make_dataset(root, args.n_train, args.n_val, args.size, args.seed)
+    make_dataset(root, args.n_train, args.n_val, args.size, args.seed,
+                 profile=args.profile,
+                 progress_every=500 if args.n_train + args.n_val > 500 else 0)
 
     if args.two_stage:
         from dsrg_tpu.tools import run_recipe
