@@ -20,12 +20,12 @@ import numpy as np
 from PIL import Image
 from scipy.ndimage import zoom as ndzoom
 
-from dsrg_tpu.data.voc import load_image_bgr, read_pair_list
+from dsrg_tpu.data.voc import _EpochOrder, load_image_bgr, read_pair_list
 
 COCO_MEAN = np.array([104.008, 116.669, 122.675], np.float32)
 
 
-class COCOCueDataset:
+class COCOCueDataset(_EpochOrder):
     def __init__(
         self,
         root: str,
@@ -44,22 +44,12 @@ class COCOCueDataset:
         self.num_classes = num_classes
         self.mean = np.asarray(mean, np.float32)
         self.ignore_label = ignore_label
-        self.rng = np.random.default_rng(seed)
-        self._order = np.arange(len(self.entries))
-        self._pos = len(self.entries)
+        super().__init__(len(self.entries), True, seed)
         self.cue_h = self.new_h // 8 + 1
         self.cue_w = self.new_w // 8 + 1
 
     def __len__(self) -> int:
         return len(self.entries)
-
-    def _next_index(self) -> int:
-        if self._pos >= len(self._order):
-            self.rng.shuffle(self._order)
-            self._pos = 0
-        idx = self._order[self._pos]
-        self._pos += 1
-        return int(idx)
 
     def _load_one(self, image_path: str, label_path: str):
         image = load_image_bgr(self.root + image_path)

@@ -64,7 +64,47 @@ def preprocess_image(
     return img - mean
 
 
-class Stage1Dataset:
+class _EpochOrder:
+    """Deterministic epoch-permutation sampling.
+
+    The k-th sample drawn is a pure function of ``(seed, k)`` — epoch
+    ``k // n`` uses the permutation from ``default_rng((seed, epoch))`` —
+    so a resumed run can ``seek()`` to any batch index and reproduce the
+    uninterrupted run's data order exactly (the reference restarts its
+    ``ImageData``/``BatchLoader`` shuffle from scratch on
+    ``solver.restore``; deterministic resume is a deliberate upgrade)."""
+
+    def __init__(self, n: int, shuffle: bool, seed: int):
+        self._n = n
+        self._shuffle = shuffle
+        self._seed = seed
+        self._epoch = -1
+        self._order = None
+        self._count = 0  # global samples drawn so far
+
+    def _index_at(self, k: int) -> int:
+        epoch, pos = divmod(k, self._n)
+        if epoch != self._epoch:
+            self._epoch = epoch
+            if self._shuffle:
+                self._order = np.random.default_rng(
+                    (self._seed, epoch)
+                ).permutation(self._n)
+            else:
+                self._order = np.arange(self._n)
+        return int(self._order[pos])
+
+    def _next_index(self) -> int:
+        idx = self._index_at(self._count)
+        self._count += 1
+        return idx
+
+    def seek(self, batches: int) -> None:
+        """Position the stream as if ``batches`` batches were already drawn."""
+        self._count = batches * self.batch_size
+
+
+class Stage1Dataset(_EpochOrder):
     """(images, labels, cues) batches from an input list + cue pickle.
 
     ``input_list.txt`` rows are '<file>.jpg <numeric-id>' where the id keys
@@ -87,24 +127,12 @@ class Stage1Dataset:
         self.cue_db = cue_db
         self.crop_size = crop_size
         self.batch_size = batch_size
-        self.shuffle = shuffle
-        self.rng = np.random.default_rng(seed)
-        self._order = np.arange(len(self.entries))
-        self._pos = len(self.entries)  # trigger reshuffle on first batch
+        super().__init__(len(self.entries), shuffle, seed)
         # PIL/scipy release the GIL in decode/zoom, so threads parallelize IO
         self._pool = ThreadPoolExecutor(max_workers=workers) if workers > 1 else None
 
     def __len__(self) -> int:
         return len(self.entries)
-
-    def _next_index(self) -> int:
-        if self._pos >= len(self._order):
-            if self.shuffle:
-                self.rng.shuffle(self._order)
-            self._pos = 0
-        idx = self._order[self._pos]
-        self._pos += 1
-        return int(idx)
 
     def _load_one(self, entry):
         fname, image_id = entry
@@ -134,7 +162,7 @@ class Stage1Dataset:
             yield self.next_batch()
 
 
-class Stage2Dataset:
+class Stage2Dataset(_EpochOrder):
     """(images, labels) crops from an (image, pseudo-GT) pair list.
 
     SimpleTransformer semantics (``layer.py:169-236``): mean-subtract, pad
@@ -161,21 +189,11 @@ class Stage2Dataset:
         self.mean = np.asarray(mean, np.float32)
         self.ignore_label = ignore_label
         self.phase = phase
-        self.rng = np.random.default_rng(seed)
-        self._order = np.arange(len(self.entries))
-        self._pos = len(self.entries)
+        super().__init__(len(self.entries), True, seed)
         self._pool = ThreadPoolExecutor(max_workers=workers) if workers > 1 else None
 
     def __len__(self) -> int:
         return len(self.entries)
-
-    def _next_index(self) -> int:
-        if self._pos >= len(self._order):
-            self.rng.shuffle(self._order)
-            self._pos = 0
-        idx = self._order[self._pos]
-        self._pos += 1
-        return int(idx)
 
     def _resolve(self, p: str) -> str:
         # reference concatenates root + path verbatim (layer.py:113-114);
@@ -213,8 +231,13 @@ class Stage2Dataset:
 
     def next_batch(self) -> dict:
         n, c = self.batch_size, self.crop
+        base = self._count  # crop seeds keyed to sample index: resume-exact
         picked = [self.entries[self._next_index()] for _ in range(n)]
-        seeds = self.rng.integers(0, 2**31 - 1, size=n)
+        seeds = [
+            int(np.random.SeedSequence((self._seed, base + j)).generate_state(1)[0]
+                % (2**31 - 1))
+            for j in range(n)
+        ]
         jobs = [(p[0], p[1], int(s)) for p, s in zip(picked, seeds)]
         if self._pool is not None:
             loaded = list(self._pool.map(lambda a: self._load_pair(*a), jobs))

@@ -183,6 +183,11 @@ def main(argv=None) -> None:
             print("auto-resume from", latest)
             state = ckpt.restore_checkpoint(latest, state)
 
+    if int(state.step) and hasattr(dataset, "seek"):
+        # reproduce the uninterrupted run's data order after a resume
+        # (sample k is a pure function of (seed, k) — data/voc.py:_EpochOrder)
+        dataset.seek(int(state.step))
+
     n_dev = len(jax.devices())
     use_mesh = (not args.no_mesh) and n_dev > 1 and cfg.batch_size % n_dev == 0
     if use_mesh:

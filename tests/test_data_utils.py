@@ -127,6 +127,47 @@ def test_stage2_dataset_batches(voc_fixture):
     assert (batch["labels"] == 255).any()
 
 
+def test_stage1_seek_reproduces_uninterrupted_order(voc_fixture):
+    """Data order is a pure function of (seed, batch index): a resumed run
+    (seek) replays exactly the batches the uninterrupted run would draw —
+    the host-side half of bit-consistent --auto-resume (the device half is
+    the checkpointed state.rng stream)."""
+    root, ids = voc_fixture
+    db = CueDB(str(root / "cues.pickle"), num_classes=6, cue_size=5)
+    mk = lambda: Stage1Dataset(
+        str(root / "JPEGImages"), str(root / "input_list.txt"), db,
+        crop_size=33, batch_size=3, workers=1,
+    )
+    ref = mk()
+    full = [ref.next_batch() for _ in range(6)]
+    resumed = mk()
+    resumed.seek(4)
+    for k in range(4, 6):
+        got = resumed.next_batch()
+        for key in full[k]:
+            np.testing.assert_array_equal(got[key], full[k][key])
+
+
+def test_stage2_seek_reproduces_crops_too(voc_fixture):
+    """Stage-2 random crops are keyed to the sample index, so a resume
+    reproduces the crop offsets as well as the image order."""
+    root, ids = voc_fixture
+    mk = lambda: Stage2Dataset(
+        str(root), str(root / "pairs.txt"), crop_size=48, batch_size=2, workers=1,
+    )
+    full = [mk().next_batch() for _ in range(1)]  # fresh dataset: batch 0
+    ref = mk()
+    batches = [ref.next_batch() for _ in range(5)]
+    for key in full[0]:
+        np.testing.assert_array_equal(batches[0][key], full[0][key])
+    resumed = mk()
+    resumed.seek(3)
+    for k in range(3, 5):
+        got = resumed.next_batch()
+        for key in batches[k]:
+            np.testing.assert_array_equal(got[key], batches[k][key])
+
+
 def test_preprocess_matches_reference_recipe(voc_fixture):
     root, ids = voc_fixture
     from scipy.ndimage import zoom as ndzoom
