@@ -47,9 +47,11 @@ class PrefetchLoader:
         batch = self.queue.get()
         if batch is None:
             raise StopIteration
-        if self.half_images and "images" in batch:
-            import numpy as np
+        import numpy as np
 
+        if (self.half_images and "images" in batch
+                and np.issubdtype(np.asarray(batch["images"]).dtype, np.floating)):
+            # uint8 canvases ship as-is (smaller than f16; device normalizes)
             batch = dict(batch)
             batch["images"] = np.asarray(batch["images"], np.float16)
         if self.mesh is not None:

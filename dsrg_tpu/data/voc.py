@@ -121,12 +121,18 @@ class Stage1Dataset(_EpochOrder):
         shuffle: bool = True,
         seed: int = 0,
         workers: int = 8,
+        ship_uint8: bool = False,
     ):
         self.image_dir = image_dir
         self.entries = read_pair_list(input_list)
         self.cue_db = cue_db
         self.crop_size = crop_size
         self.batch_size = batch_size
+        # ship raw uint8 BGR canvases; mean-sub runs on device inside the
+        # step (stage1._device_normalize) — 4x fewer host->device bytes
+        # than f32 (quantization <= 0.5/255 after the resize, below the
+        # model's bf16 compute noise)
+        self.ship_uint8 = ship_uint8
         super().__init__(len(self.entries), shuffle, seed)
         # PIL/scipy release the GIL in decode/zoom, so threads parallelize IO
         self._pool = ThreadPoolExecutor(max_workers=workers) if workers > 1 else None
@@ -137,7 +143,14 @@ class Stage1Dataset(_EpochOrder):
     def _load_one(self, entry):
         fname, image_id = entry
         img = load_image_bgr(osp.join(self.image_dir, fname))
-        image = preprocess_image(img, self.crop_size)
+        if self.ship_uint8:
+            resized = ndzoom(
+                img, (self.crop_size / img.shape[0], self.crop_size / img.shape[1], 1.0),
+                order=1,
+            )
+            image = np.clip(np.round(resized), 0, 255).astype(np.uint8)
+        else:
+            image = preprocess_image(img, self.crop_size)
         labels, cues = self.cue_db.get(int(image_id))
         return image, labels, cues
 
@@ -150,9 +163,11 @@ class Stage1Dataset(_EpochOrder):
             loaded = list(self._pool.map(self._load_one, picked))
         else:
             loaded = [self._load_one(e) for e in picked]
-        images = np.empty((n, self.crop_size, self.crop_size, 3), np.float32)
+        images = np.empty((n, self.crop_size, self.crop_size, 3),
+                          np.uint8 if self.ship_uint8 else np.float32)
         labels = np.empty((n, m), np.float32)
-        cues = np.empty((n, s, s, m), np.float32)
+        # cue volumes are {0,1}: uint8 shipping is exact and 4x smaller
+        cues = np.empty((n, s, s, m), np.uint8 if self.ship_uint8 else np.float32)
         for i, (img, lab, cue) in enumerate(loaded):
             images[i], labels[i], cues[i] = img, lab, cue
         return {"images": images, "labels": labels, "cues": cues}
@@ -181,6 +196,7 @@ class Stage2Dataset(_EpochOrder):
         phase: str = "Train",
         seed: int = 0,
         workers: int = 8,
+        ship_uint8: bool = False,
     ):
         self.root = root
         self.entries = read_pair_list(pair_list)
@@ -189,6 +205,10 @@ class Stage2Dataset(_EpochOrder):
         self.mean = np.asarray(mean, np.float32)
         self.ignore_label = ignore_label
         self.phase = phase
+        # uint8 shipping is EXACT for stage 2 (no resize: source pixels are
+        # integers, and padding with the integer BGR mean reproduces the
+        # reference's pad-then-mean-sub zeros on device)
+        self.ship_uint8 = ship_uint8 and np.allclose(self.mean, np.round(self.mean))
         super().__init__(len(self.entries), True, seed)
         self._pool = ThreadPoolExecutor(max_workers=workers) if workers > 1 else None
 
@@ -205,7 +225,11 @@ class Stage2Dataset(_EpochOrder):
         return cand
 
     def _load_pair(self, img_path: str, lbl_path: str, crop_seed: int):
-        image = load_image_bgr(self._resolve(img_path)) - self.mean
+        image = load_image_bgr(self._resolve(img_path))
+        if self.ship_uint8:
+            image = image.astype(np.uint8)  # source pixels are exact ints
+        else:
+            image = image - self.mean
         label = np.asarray(Image.open(self._resolve(lbl_path)), dtype=np.float32)
         if label.ndim == 3:
             label = label[..., 0]
@@ -213,7 +237,17 @@ class Stage2Dataset(_EpochOrder):
         pad_h = max(c - image.shape[0], 0)
         pad_w = max(c - image.shape[1], 0)
         if pad_h or pad_w:
-            image = np.pad(image, ((0, pad_h), (0, pad_w), (0, 0)))
+            if self.ship_uint8:
+                # pad with the integer BGR mean: device mean-sub yields the
+                # reference's exact zero padding (layer.py:196-200)
+                pad_val = np.round(self.mean).astype(np.uint8)
+                image = np.stack(
+                    [np.pad(image[..., ch], ((0, pad_h), (0, pad_w)),
+                            constant_values=pad_val[ch]) for ch in range(3)],
+                    axis=-1,
+                )
+            else:
+                image = np.pad(image, ((0, pad_h), (0, pad_w), (0, 0)))
             label = np.pad(label, ((0, pad_h), (0, pad_w)),
                            constant_values=self.ignore_label)
         h, w = label.shape
@@ -243,7 +277,8 @@ class Stage2Dataset(_EpochOrder):
             loaded = list(self._pool.map(lambda a: self._load_pair(*a), jobs))
         else:
             loaded = [self._load_pair(*a) for a in jobs]
-        images = np.empty((n, c, c, 3), np.float32)
+        images = np.empty((n, c, c, 3),
+                          np.uint8 if self.ship_uint8 else np.float32)
         labels = np.empty((n, c, c), np.int32)
         for i, (img, lab) in enumerate(loaded):
             images[i], labels[i] = img, lab

@@ -62,6 +62,11 @@ def parse_args(argv=None):
                         "through the stage-s CRF instead of the reference's "
                         "heuristic (1-Q)*g CRFLayer backward")
     p.add_argument("--no-mesh", action="store_true", help="force single-device")
+    p.add_argument("--ship-uint8", action="store_true",
+                   help="ship raw uint8 image canvases and mean-subtract on "
+                        "device (4x fewer host->device bytes than f32; exact "
+                        "for stage f, <=0.5/255 resize quantization for "
+                        "stage s)")
     p.add_argument("--auto-resume", action="store_true",
                    help="resume from the latest snapshot in --snapshot-dir if present")
     p.add_argument("--sync-snapshots", action="store_true",
@@ -137,6 +142,7 @@ def main(argv=None) -> None:
             dataset = Stage1Dataset(
                 args.image_dir, args.input_list, cue_db,
                 crop_size=cfg.crop_size, batch_size=cfg.batch_size, seed=cfg.seed,
+                ship_uint8=args.ship_uint8,
             )
         make_step = lambda axis: make_stage1_step(
             model, cfg, tx, axis_name=axis, extra_vars=extra_vars
@@ -148,6 +154,7 @@ def main(argv=None) -> None:
         dataset = Stage2Dataset(
             args.root, args.pair_list,
             crop_size=cfg.crop_size, batch_size=cfg.batch_size, seed=cfg.seed,
+            ship_uint8=args.ship_uint8,
         )
         make_step = lambda axis: make_stage2_step(
             model, cfg, tx, axis_name=axis, extra_vars=extra_vars

@@ -32,6 +32,18 @@ from dsrg_tpu.ops.softmax import MIN_PROB, clamp_straight_through, floored_softm
 from dsrg_tpu.train.optimizer import caffe_sgd, lr_step
 from dsrg_tpu.train.train_state import TrainState
 
+# BGR channel means (train-s.prototxt:14-16); used when loaders ship raw
+# uint8 canvases and normalization runs on device (4x fewer host->device
+# bytes than f32 — the transfer link, not HBM, is the bottleneck).
+BGR_MEAN = (104.0, 117.0, 123.0)
+
+
+def _device_normalize(images):
+    """Accept f32/f16 mean-subtracted images or raw uint8 BGR canvases."""
+    if images.dtype == jnp.uint8:
+        return images.astype(jnp.float32) - jnp.asarray(BGR_MEAN, jnp.float32)
+    return images.astype(jnp.float32)
+
 
 def make_optimizer(cfg: Stage1Config) -> optax.GradientTransformation:
     return caffe_sgd(
@@ -72,9 +84,9 @@ def make_stage1_step(
             # ~20 ms/step at batch 20; 'rbg' is near-free on TPU.
             drop_seed = jax.random.randint(drop_rng, (), 0, jnp.iinfo(jnp.int32).max)
             drop_rng = jax.random.key(drop_seed, impl="rbg")
-        images = batch["images"].astype(jnp.float32)  # loaders may ship fp16
+        images = _device_normalize(batch["images"])
         labels = batch["labels"]
-        cues = batch["cues"]
+        cues = batch["cues"].astype(jnp.float32)  # loaders may ship uint8 {0,1}
 
         if cfg.mirror:
             flip = jax.random.bernoulli(flip_rng, 0.5, (images.shape[0],))
@@ -121,6 +133,7 @@ def make_stage1_step(
             "loss_seed": l_seed,
             "loss_constrain": l_con,
             "seed_pixels": seed_pixels,
+            "grad_norm": optax.global_norm(grads),
         }
         new_state = state.replace(
             params=params, opt_state=opt_state, rng=rng, step=state.step + 1

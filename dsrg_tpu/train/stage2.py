@@ -47,7 +47,9 @@ def make_stage2_step(
         if cfg.fast_dropout_rng:
             drop_seed = jax.random.randint(drop_rng, (), 0, jnp.iinfo(jnp.int32).max)
             drop_rng = jax.random.key(drop_seed, impl="rbg")
-        images = batch["images"].astype(jnp.float32)  # loaders may ship fp16
+        from dsrg_tpu.train.stage1 import _device_normalize
+
+        images = _device_normalize(batch["images"])
         labels = batch["labels"]
 
         if cfg.mirror:
@@ -78,7 +80,8 @@ def make_stage2_step(
             acc = jax.lax.pmean(acc, axis_name)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        metrics = {"loss": loss, "accuracy": acc}
+        metrics = {"loss": loss, "accuracy": acc,
+                   "grad_norm": optax.global_norm(grads)}
         new_state = state.replace(
             params=params, opt_state=opt_state, rng=rng, step=state.step + 1
         )

@@ -168,6 +168,36 @@ def test_stage2_seek_reproduces_crops_too(voc_fixture):
             np.testing.assert_array_equal(got[key], batches[k][key])
 
 
+def test_ship_uint8_matches_float_path(voc_fixture):
+    """uint8 canvas shipping + on-device mean-sub vs the host float path:
+    exact for stage 2 (integer pixels, mean-padding == zero-padding after
+    normalize), <= 0.5 resize quantization for stage 1."""
+    from dsrg_tpu.train.stage1 import BGR_MEAN
+
+    root, ids = voc_fixture
+    db = CueDB(str(root / "cues.pickle"), num_classes=6, cue_size=5)
+    mk1 = lambda u8: Stage1Dataset(
+        str(root / "JPEGImages"), str(root / "input_list.txt"), db,
+        crop_size=33, batch_size=3, workers=1, ship_uint8=u8,
+    )
+    f = mk1(False).next_batch()
+    u = mk1(True).next_batch()
+    assert u["images"].dtype == np.uint8
+    norm = u["images"].astype(np.float32) - np.asarray(BGR_MEAN, np.float32)
+    assert np.abs(norm - f["images"]).max() <= 0.5 + 1e-5
+
+    mk2 = lambda u8: Stage2Dataset(
+        str(root), str(root / "pairs.txt"), crop_size=64, batch_size=2,
+        workers=1, ship_uint8=u8,
+    )
+    f2 = mk2(False).next_batch()
+    u2 = mk2(True).next_batch()
+    assert u2["images"].dtype == np.uint8
+    norm2 = u2["images"].astype(np.float32) - np.asarray(BGR_MEAN, np.float32)
+    np.testing.assert_array_equal(norm2, f2["images"])
+    np.testing.assert_array_equal(u2["labels"], f2["labels"])
+
+
 def test_preprocess_matches_reference_recipe(voc_fixture):
     root, ids = voc_fixture
     from scipy.ndimage import zoom as ndzoom
