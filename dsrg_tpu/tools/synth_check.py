@@ -50,7 +50,8 @@ def make_dataset(root: str, n_train: int, n_val: int, size: int, seed: int = 0,
                                progress_every=progress_every)
 
 
-def _miou_fg(root: str, pred_dir: str, ids_file: str = "val_id.txt") -> dict:
+def _miou_fg(root: str, pred_dir: str, ids_file: str = "val_id.txt",
+             n_classes: int = 21) -> dict:
     """Honest mIoU over background + every fg class present in the val gt.
 
     The reference's jaccard drops classes without a correct hit
@@ -59,7 +60,7 @@ def _miou_fg(root: str, pred_dir: str, ids_file: str = "val_id.txt") -> dict:
     from dsrg_tpu.utils.confusion import ConfusionMatrix
     from dsrg_tpu.utils.palette import read_mask_png
 
-    conf = ConfusionMatrix(21)
+    conf = ConfusionMatrix(n_classes)
     present = {0}
     for img_id in open(osp.join(root, ids_file)).read().split():
         gt = read_mask_png(osp.join(root, "SegmentationClass", img_id + ".png"))
@@ -67,7 +68,7 @@ def _miou_fg(root: str, pred_dir: str, ids_file: str = "val_id.txt") -> dict:
         present.update(np.unique(gt).tolist())
         conf.add(gt, pred)
     m = conf.M
-    classes = sorted(c for c in present if c < 21)
+    classes = sorted(c for c in present if c < n_classes)
     with np.errstate(divide="ignore", invalid="ignore"):
         per = [
             float(np.nan_to_num(m[i, i] / (m[i].sum() + m[:, i].sum() - m[i, i])))
@@ -81,6 +82,86 @@ def _miou_fg(root: str, pred_dir: str, ids_file: str = "val_id.txt") -> dict:
 
 
 _miou3 = _miou_fg  # round-2 name, kept for external callers
+
+
+def _run_coco_proof(args, root: str) -> float:
+    """From-scratch learning proof for the COCO dense-cue path.
+
+    Mirrors the reference COCO recipe shape (``pylayers.py:389-512`` +
+    ``test-coco.py``): stage-s training reads (image, label-png) pairs and
+    builds dense 81-channel cue volumes at score resolution; evaluation is
+    the test-coco streaming-mIoU CLI.  ``--two-stage`` adds the pseudo-GT
+    dump -> stage-f retrain -> final eval loop on top."""
+    import json as _json
+
+    from dsrg_tpu.tools import test_coco
+    from dsrg_tpu.tools import train as train_tool
+    from dsrg_tpu.tools._infer_common import build_arg_parser
+
+    ids = {
+        split: open(osp.join(root, f"{split}_id.txt")).read().split()
+        for split in ("train_aug", "val")
+    }
+    pair_paths = {}
+    for split, split_ids in ids.items():
+        pair_paths[split] = osp.join(root, f"coco_{split}_pairs.txt")
+        with open(pair_paths[split], "w") as f:
+            for i in split_ids:
+                f.write(f"JPEGImages/{i}.jpg SegmentationClass/{i}.png\n")
+
+    snap = osp.join(args.work_dir, "models-coco")
+    train_tool.main([
+        "--stage", "s", "--dataset", "coco",
+        "--root", root + "/", "--pair-list", pair_paths["train_aug"],
+        "--snapshot-dir", snap, "--max-iter", str(args.iters),
+        "--batch-size", str(args.batch_size), "--crop-size", str(args.size),
+        "--snapshot-every", str(args.iters), "--display", "25",
+        "--dtype", args.dtype, "--model", args.model_name,
+    ])
+    model_path = osp.join(snap, f"step_{args.iters}_params")
+
+    def coco_eval(model, out_dir):
+        ev = build_arg_parser("").parse_args([
+            "--images", pair_paths["val"], "--dir", root, "--model", model,
+            "--output", out_dir, "--num-classes", "81",
+            "--batch", str(args.batch), "--model-name", args.model_name,
+        ] + (["--smooth"] if args.smooth else []))
+        return test_coco.run_coco(ev, sizes=args.sizes or [args.size])
+
+    if args.two_stage:
+        # pseudo-GT dump over train -> stage-f retrain (reference run.sh
+        # shape on the COCO path)
+        dump_dir = osp.join(args.work_dir, "coco_pseudo_gt")
+        dump = build_arg_parser("").parse_args([
+            "--images", pair_paths["train_aug"], "--dir", root,
+            "--model", model_path, "--output", dump_dir,
+            "--num-classes", "81", "--batch", str(args.batch),
+            "--model-name", args.model_name,
+        ])
+        test_coco.run_coco(dump, sizes=args.sizes or [args.size])
+        f_pairs = osp.join(root, "coco_f_pairs.txt")
+        with open(f_pairs, "w") as f:
+            for i in ids["train_aug"]:
+                f.write(f"/JPEGImages/{i}.jpg {osp.abspath(osp.join(dump_dir, i + '.png'))}\n")
+        snap_f = osp.join(args.work_dir, "models-coco-f")
+        train_tool.main([
+            "--stage", "f", "--root", root, "--pair-list", f_pairs,
+            "--snapshot-dir", snap_f, "--num-classes", "81",
+            "--max-iter", str(args.iters2 or args.iters),
+            "--batch-size", str(args.batch_size), "--crop-size", str(args.size),
+            "--snapshot-every", str(args.iters2 or args.iters),
+            "--display", "25", "--weights", model_path,
+            "--dtype", args.dtype, "--model", args.model_name,
+        ])
+        model_path = osp.join(snap_f, f"step_{args.iters2 or args.iters}_params")
+
+    pred_dir = osp.join(args.work_dir, "coco_preds")
+    miou_quirk = coco_eval(model_path, pred_dir)
+    out = {"coco_val_miou_refquirk": float(miou_quirk), "iters": args.iters,
+           "dataset": "coco", "two_stage": bool(args.two_stage),
+           **_miou_fg(root, pred_dir, n_classes=81)}
+    print(_json.dumps(out))
+    return out["miou3"]
 
 
 def main(argv=None) -> float:
@@ -108,6 +189,11 @@ def main(argv=None) -> float:
                         "-> pseudo-GT dump -> stage-f retrain -> final "
                         "predictions -> evaluate) via run_recipe instead of "
                         "the single-stage loop")
+    p.add_argument("--dataset", choices=["voc", "coco"], default="voc",
+                   help="coco: drive the 81-class dense-cue path "
+                        "(AnnotationLayerCOCO equivalent, data/coco.py) — "
+                        "stage-s training from label pngs, test-coco "
+                        "streaming-mIoU eval, optional --two-stage retrain")
     p.add_argument("--iters2", type=int, default=None,
                    help="stage-2 iterations (default: --iters)")
     args = p.parse_args(argv)
@@ -116,6 +202,9 @@ def main(argv=None) -> float:
     make_dataset(root, args.n_train, args.n_val, args.size, args.seed,
                  profile=args.profile,
                  progress_every=500 if args.n_train + args.n_val > 500 else 0)
+
+    if args.dataset == "coco":
+        return _run_coco_proof(args, root)
 
     if args.two_stage:
         from dsrg_tpu.tools import run_recipe
