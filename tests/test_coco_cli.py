@@ -27,6 +27,7 @@ def coco_tree(tmp_path):
     return root
 
 
+@pytest.mark.slow
 def test_coco_stage_s_training_and_eval_cli(coco_tree, tmp_path):
     from dsrg_tpu.tools import train as train_tool
 

@@ -14,6 +14,12 @@ import sys
 
 import numpy as np
 
+import pytest
+
+# e2e/subprocess/distributed tier (VERDICT r2 item 6): excluded from the
+# fast core gate via `pytest -m 'not slow'`
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tests", "_distributed_worker.py")
 

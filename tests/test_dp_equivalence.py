@@ -14,6 +14,12 @@ from dsrg_tpu.models import DeepLabLargeFOV
 from dsrg_tpu.parallel import data_parallel_step, make_mesh, shard_batch
 from dsrg_tpu.train.stage1 import init_stage1, make_stage1_step
 
+import pytest
+
+# e2e/subprocess/distributed tier (VERDICT r2 item 6): excluded from the
+# fast core gate via `pytest -m 'not slow'`
+pytestmark = pytest.mark.slow
+
 
 def test_dp_step_matches_single_device():
     cfg = Stage1Config(

@@ -14,6 +14,12 @@ import sys
 import jax
 import jax.numpy as jnp
 
+import pytest
+
+# e2e/subprocess/distributed tier (VERDICT r2 item 6): excluded from the
+# fast core gate via `pytest -m 'not slow'`
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

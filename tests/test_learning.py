@@ -12,6 +12,12 @@ from dsrg_tpu.config import Stage1Config
 from dsrg_tpu.models import DeepLabLargeFOV
 from dsrg_tpu.train.stage1 import init_stage1, make_stage1_step
 
+import pytest
+
+# e2e/subprocess/distributed tier (VERDICT r2 item 6): excluded from the
+# fast core gate via `pytest -m 'not slow'`
+pytestmark = pytest.mark.slow
+
 OBJ = 2  # object class id
 
 

@@ -1,6 +1,7 @@
 import numpy as np
 
 from dsrg_tpu.data.loader import PrefetchLoader
+import pytest
 
 
 class _FiniteDataset:
@@ -25,6 +26,7 @@ def test_prefetch_loader_close_midstream():
     loader.close()  # no hang/leak
 
 
+@pytest.mark.slow
 def test_train_cli_validation(tmp_path):
     """--val-every path: tiny train run with in-loop mIoU validation."""
     import os.path as osp

@@ -10,6 +10,10 @@ from PIL import Image
 
 from dsrg_tpu.data.cues import save_cue_db
 
+# e2e/subprocess/distributed tier (VERDICT r2 item 6): excluded from the
+# fast core gate via `pytest -m 'not slow'`
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture
 def voc_tree(tmp_path):

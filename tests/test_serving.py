@@ -5,6 +5,12 @@ import numpy as np
 from dsrg_tpu.models import DeepLabLargeFOV
 from dsrg_tpu.serving import ServingModel, export_deploy
 
+import pytest
+
+# e2e/subprocess/distributed tier (VERDICT r2 item 6): excluded from the
+# fast core gate via `pytest -m 'not slow'`
+pytestmark = pytest.mark.slow
+
 
 def test_export_and_serve_roundtrip(tmp_path):
     model = DeepLabLargeFOV(num_classes=5, head_dilations=(2, 4))

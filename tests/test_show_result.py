@@ -5,8 +5,10 @@ from PIL import Image
 
 import jax
 import jax.numpy as jnp
+import pytest
 
 
+@pytest.mark.slow
 def test_show_result_cli(tmp_path):
     # build a tiny params checkpoint the tool can load
     from dsrg_tpu.models import DeepLabLargeFOV

@@ -38,6 +38,7 @@ def tiny_voc(tmp_path):
     return root, ids
 
 
+@pytest.mark.slow
 def test_train_infer_evaluate_pipeline(tiny_voc, tmp_path):
     root, ids = tiny_voc
     from dsrg_tpu.tools import train as train_tool
@@ -136,6 +137,7 @@ def test_infer_cli_device_pipeline_scales(tiny_voc, tmp_path):
         assert mask.max() < 21
 
 
+@pytest.mark.slow
 def test_synth_check_smoke(tmp_path):
     """The synthetic learning-sanity tool runs the full generate -> train ->
     infer -> evaluate loop end-to-end (learning itself is asserted in the
@@ -150,6 +152,7 @@ def test_synth_check_smoke(tmp_path):
     assert np.isfinite(miou3) and 0.0 <= miou3 <= 1.0
 
 
+@pytest.mark.slow
 def test_synth_check_two_stage_smoke(tmp_path):
     """--two-stage drives the full run.sh-equivalent recipe (stage-s ->
     pseudo-GT dump -> stage-f -> final predictions -> evaluate) through

@@ -17,6 +17,10 @@ from dsrg_tpu.ops.softmax import MIN_PROB, floored_softmax  # noqa: E402
 from dsrg_tpu.losses import balanced_seed_loss  # noqa: E402
 from dsrg_tpu.train.optimizer import caffe_sgd  # noqa: E402
 
+# e2e/subprocess/distributed tier (VERDICT r2 item 6): excluded from the
+# fast core gate via `pytest -m 'not slow'`
+pytestmark = pytest.mark.slow
+
 BASE_LR, MOM, WD = 1e-3, 0.9, 5e-4
 HEADS = (2,)
 

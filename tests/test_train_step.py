@@ -48,6 +48,7 @@ def test_stage1_step_runs_and_loss_decreases():
     assert int(state.step) == 5
 
 
+@pytest.mark.slow
 def test_stage1_step_data_parallel_matches_semantics():
     cfg = TINY1
     model = DeepLabLargeFOV(num_classes=cfg.num_classes, head_dilations=(2, 4))
