@@ -122,6 +122,7 @@ class Stage1Dataset(_EpochOrder):
         seed: int = 0,
         workers: int = 8,
         ship_uint8: bool = False,
+        cache_dir: str | None = None,
     ):
         self.image_dir = image_dir
         self.entries = read_pair_list(input_list)
@@ -133,6 +134,34 @@ class Stage1Dataset(_EpochOrder):
         # than f32 (quantization <= 0.5/255 after the resize, below the
         # model's bf16 compute noise)
         self.ship_uint8 = ship_uint8
+        # decoded-canvas cache: on single-core hosts JPEG decode + zoom is
+        # the loader bottleneck (~30-60 ms/image); the first epoch fills a
+        # (n, crop, crop, 3) uint8 memmap, later epochs read it back at
+        # memory speed.  The reference's ImageData layer re-decodes every
+        # epoch (train-s.prototxt:3-22).  Implies uint8 quantization, so it
+        # requires ship_uint8.
+        self._cache = None
+        if cache_dir is not None:
+            if not ship_uint8:
+                raise ValueError("cache_dir requires ship_uint8=True")
+            import os
+
+            os.makedirs(cache_dir, exist_ok=True)
+            path = osp.join(
+                cache_dir, f"stage1_{crop_size}_{len(self.entries)}.u8"
+            )
+            self._cache = np.lib.format.open_memmap(
+                path, mode="r+" if osp.exists(path) else "w+",
+                dtype=np.uint8,
+                shape=(len(self.entries), crop_size, crop_size, 3),
+            )
+            flag_path = path + ".done"
+            self._cache_flags = (
+                np.fromfile(flag_path, np.uint8).astype(bool)
+                if osp.exists(flag_path)
+                else np.zeros(len(self.entries), bool)
+            )
+            self._cache_flag_path = flag_path
         super().__init__(len(self.entries), shuffle, seed)
         # PIL/scipy release the GIL in decode/zoom, so threads parallelize IO
         self._pool = ThreadPoolExecutor(max_workers=workers) if workers > 1 else None
@@ -140,8 +169,11 @@ class Stage1Dataset(_EpochOrder):
     def __len__(self) -> int:
         return len(self.entries)
 
-    def _load_one(self, entry):
-        fname, image_id = entry
+    def _load_one(self, idx: int):
+        fname, image_id = self.entries[idx]
+        labels, cues = self.cue_db.get(int(image_id))
+        if self._cache is not None and self._cache_flags[idx]:
+            return self._cache[idx], labels, cues
         img = load_image_bgr(osp.join(self.image_dir, fname))
         if self.ship_uint8:
             resized = ndzoom(
@@ -149,20 +181,24 @@ class Stage1Dataset(_EpochOrder):
                 order=1,
             )
             image = np.clip(np.round(resized), 0, 255).astype(np.uint8)
+            if self._cache is not None:
+                self._cache[idx] = image
+                self._cache_flags[idx] = True
         else:
             image = preprocess_image(img, self.crop_size)
-        labels, cues = self.cue_db.get(int(image_id))
         return image, labels, cues
 
     def next_batch(self) -> dict:
         n = self.batch_size
         m = self.cue_db.num_classes
         s = self.cue_db.cue_size
-        picked = [self.entries[self._next_index()] for _ in range(n)]
+        picked = [self._next_index() for _ in range(n)]
         if self._pool is not None:
             loaded = list(self._pool.map(self._load_one, picked))
         else:
             loaded = [self._load_one(e) for e in picked]
+        if self._cache is not None:
+            self._cache_flags.astype(np.uint8).tofile(self._cache_flag_path)
         images = np.empty((n, self.crop_size, self.crop_size, 3),
                           np.uint8 if self.ship_uint8 else np.float32)
         labels = np.empty((n, m), np.float32)

@@ -264,8 +264,6 @@ class MMGridPlan:
 
     def filter(self, values: jnp.ndarray) -> jnp.ndarray:
         """Approximate K @ values for (H, W, C) values (C small, e.g. 21)."""
-        if self.exact:
-            return self._filter_exact(values)
         return self.filter_cf(values.transpose(2, 0, 1)).transpose(1, 2, 0)
 
     def filter_cf(self, values: jnp.ndarray) -> jnp.ndarray:
@@ -274,7 +272,10 @@ class MMGridPlan:
         The production layout — elementwise callers stay channel-first so
         their arrays keep a lane-wide minor dim (see module docstring).
         """
-        if self.exact:  # parity mode: reuse the pixel-major 4-corner path
+        if self.exact:
+            if self.use_pallas:
+                return self._filter_exact_cf(values)
+            # XLA fallback: pixel-major 4-corner path
             return self._filter_exact(values.transpose(1, 2, 0)).transpose(2, 0, 1)
 
         c = values.shape[0]
@@ -323,6 +324,52 @@ class MMGridPlan:
             )
             _, sum_mat, _, wr_exp = self._mats(c)
             out = jnp.einsum("tpq,qc->tcp", tt * wr_exp, sum_mat)
+        return self._untile_cf(out)[:, : self.h, : self.w]
+
+    def _filter_exact_cf(self, values: jnp.ndarray) -> jnp.ndarray:
+        """Odd-cell / parity 4-corner path on the fused Pallas kernels.
+
+        The per-corner spatial bilinear weight FOLDS INTO the r-weights —
+        ``sw_ci * (tt * wr_exp) @ sum == (tt * (sw_ci*wr_exp)) @ sum`` and
+        symmetrically on the splat side — so the same ``splat_fused`` /
+        ``slice_fused`` kernels serve this path with a corner-scaled
+        ``wr_t`` operand and no kernel changes (closes the one remaining
+        XLA-only mmgrid mode; VERDICT r2 item 8; reference role:
+        ``permutohedral.cpp:476-527`` exact barycentric splat/slice).
+        """
+        from dsrg_tpu.ops.crf.pallas_mmgrid import slice_fused, splat_fused
+
+        c = values.shape[0]
+        gy, gx, gc, t = self.gy, self.gx, self.gc, self.n_tiles
+        v = self._tile_cf(self.pad_cf(values))  # (T, C, px)
+        tile_mat, sum_mat, expand, _ = self._mats(c)
+        wr_corner = [
+            (self.wr_t * self.sw[:, None, :, ci]).astype(_BF16) for ci in range(4)
+        ]
+
+        grid = jnp.zeros((gy, gx, gc * gc, gc * c), _F32)
+        for ci, (dy, dx) in enumerate(_CORNERS):
+            g2 = splat_fused(
+                self.wbg, v, wr_corner[ci], expand.astype(_BF16),
+                tile_mat.astype(_BF16),
+            ).reshape(self.nty, self.ntx, gc * gc, gc * c)
+            grid = grid.at[dy : dy + self.nty, dx : dx + self.ntx].add(g2)
+
+        g5 = grid.reshape(gy, gx, gc, gc, gc * c)
+        for axis in range(4):
+            g5 = _shift_blur(g5, axis)
+        g5 = _shift_blur(g5, 4, step=c)
+        gf = g5.reshape(gy, gx, gc * gc, gc * c).astype(_BF16)
+
+        out = jnp.zeros((t, c, self.tile_px), _F32)
+        for ci, (dy, dx) in enumerate(_CORNERS):
+            slab = gf[dy : dy + self.nty, dx : dx + self.ntx].reshape(
+                t, gc * gc, gc * c
+            )
+            out = out + slice_fused(
+                self.wbg, slab, wr_corner[ci], expand.astype(_BF16),
+                sum_mat.astype(_BF16),
+            )
         return self._untile_cf(out)[:, : self.h, : self.w]
 
     def _filter_exact(self, values: jnp.ndarray) -> jnp.ndarray:

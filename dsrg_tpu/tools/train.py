@@ -62,6 +62,11 @@ def parse_args(argv=None):
                         "through the stage-s CRF instead of the reference's "
                         "heuristic (1-Q)*g CRFLayer backward")
     p.add_argument("--no-mesh", action="store_true", help="force single-device")
+    p.add_argument("--cache-decoded", action="store_true",
+                   help="stage s: cache decoded+resized uint8 canvases to a "
+                        "memmap under --snapshot-dir (first epoch decodes, "
+                        "later epochs read at memory speed; implies "
+                        "--ship-uint8)")
     p.add_argument("--ship-uint8", action="store_true",
                    help="ship raw uint8 image canvases and mean-subtract on "
                         "device (4x fewer host->device bytes than f32; exact "
@@ -139,10 +144,14 @@ def main(argv=None) -> None:
             )
         else:
             cue_db = CueDB(args.cues, num_classes=cfg.num_classes, cue_size=cfg.cue_size)
+            import os.path as osp
+
             dataset = Stage1Dataset(
                 args.image_dir, args.input_list, cue_db,
                 crop_size=cfg.crop_size, batch_size=cfg.batch_size, seed=cfg.seed,
-                ship_uint8=args.ship_uint8,
+                ship_uint8=args.ship_uint8 or args.cache_decoded,
+                cache_dir=(osp.join(args.snapshot_dir, "decoded_cache")
+                           if args.cache_decoded else None),
             )
         make_step = lambda axis: make_stage1_step(
             model, cfg, tx, axis_name=axis, extra_vars=extra_vars

@@ -198,6 +198,29 @@ def test_ship_uint8_matches_float_path(voc_fixture):
     np.testing.assert_array_equal(u2["labels"], f2["labels"])
 
 
+def test_stage1_decoded_cache_roundtrip(voc_fixture, tmp_path):
+    """Second pass over the dataset serves bit-identical canvases from the
+    memmap cache (and a fresh dataset instance reuses the on-disk cache)."""
+    root, ids = voc_fixture
+    db = CueDB(str(root / "cues.pickle"), num_classes=6, cue_size=5)
+    mk = lambda: Stage1Dataset(
+        str(root / "JPEGImages"), str(root / "input_list.txt"), db,
+        crop_size=33, batch_size=4, workers=1, ship_uint8=True,
+        cache_dir=str(tmp_path / "cache"),
+    )
+    ds = mk()
+    first = [ds.next_batch() for _ in range(2)]  # epoch 1: fills the cache
+    assert ds._cache_flags.all()
+    ds.seek(0)
+    second = [ds.next_batch() for _ in range(2)]  # epoch 2: cache reads
+    for a, b in zip(first, second):
+        np.testing.assert_array_equal(a["images"], b["images"])
+    ds2 = mk()  # fresh instance: picks up the persisted cache + flags
+    assert ds2._cache_flags.all()
+    third = ds2.next_batch()
+    np.testing.assert_array_equal(third["images"], first[0]["images"])
+
+
 def test_preprocess_matches_reference_recipe(voc_fixture):
     root, ids = voc_fixture
     from scipy.ndimage import zoom as ndzoom

@@ -84,6 +84,23 @@ def test_mmgrid_spatial_exact_path():
     assert (q_f.argmax(-1) == q_e.argmax(-1)).mean() > 0.999
 
 
+def test_mmgrid_exact_pallas_matches_xla():
+    """The fused-kernel 4-corner path (corner spatial weights folded into
+    the r-weight operand) must agree with the XLA 4-corner path — the only
+    difference is bf16 rounding of the folded weights."""
+    rng = np.random.default_rng(11)
+    image, probs = _confident_case(rng)
+    mk = lambda pallas: np.asarray(
+        mean_field_mmgrid(
+            jnp.asarray(probs), jnp.asarray(image), 3, scale_factor=5.0,
+            spatial_exact=True, use_pallas=pallas,
+        )
+    )
+    q_p, q_x = mk(True), mk(False)
+    assert (q_p.argmax(-1) == q_x.argmax(-1)).mean() == 1.0
+    assert np.abs(q_p - q_x).max() < 5e-3
+
+
 def test_mmgrid_masked_canvas_is_exact_for_valid_region():
     """Batched-inference contract: a padded canvas with valid_mask must match
     the unpadded run on the valid region."""
