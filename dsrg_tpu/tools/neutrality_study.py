@@ -150,12 +150,93 @@ def crf_fast_neutrality(n_batches=4, batch=8, h=41, m=21, seed=0):
     }
 
 
+def pipeline_neutrality(
+    model_path: str,
+    n_images: int = 12,
+    h: int = 375,
+    w: int = 500,
+    scales=(0.75, 1.0, 1.25),
+    smooth: bool = True,
+    model_name: str = "vgg16",
+    seed: int = 0,
+):
+    """Scales-mode device pipeline vs the serial host pipeline (VERDICT r2
+    item 5): mask agreement on photo-statistics inputs at production sizes
+    with a TRAINED model (pass a real checkpoint — random weights make the
+    argmax noise-dominated and the comparison meaningless).
+
+    The device path runs each fractional scale on a static ceil(s*canvas)
+    forward canvas with the valid extent zero-masked beyond
+    (``inference.py:381-409``); the host path is the reference-exact serial
+    per-image pipeline (``test-ms-f.py:115-130``).  Their difference is a
+    border-perturbation class; this measures it.
+    """
+    from dsrg_tpu.data.synth import PROFILES, make_image
+    from dsrg_tpu.tools._infer_common import load_predictor
+
+    import dataclasses
+
+    predictor = load_predictor(model_path, 21, model_name)
+    rng = np.random.default_rng(seed)
+    spec = dataclasses.replace(
+        PROFILES["voc"], size_min=min(h, w), size_max=max(h, w)
+    )
+    imgs = []
+    for i in range(n_images):
+        if i % 2 == 0:
+            img, _ = make_image(rng, spec)  # model's native statistics
+        else:
+            img, _, _ = make_photo_like(rng, h, w)
+            img = np.clip(img, 0, 255).astype(np.uint8)
+        imgs.append(img)
+
+    agree, host_ms, dev_ms = [], [], []
+    t0 = time.perf_counter()
+    dev_masks = predictor.predict_masks_device(
+        imgs, scales=list(scales), smooth=smooth
+    )
+    dev_ms.append((time.perf_counter() - t0) * 1000 / len(imgs))
+    for img, dm in zip(imgs, dev_masks):
+        t0 = time.perf_counter()
+        hm = predictor.predict_mask(img, scales=list(scales), smooth=smooth)
+        host_ms.append((time.perf_counter() - t0) * 1000)
+        agree.append(float((hm == dm).mean()))
+    return {
+        "geometry": f"{n_images} images ~{h}x{w}, scales {list(scales)}, "
+        f"smooth={smooth}",
+        "mask_agreement_mean": round(float(np.mean(agree)), 6),
+        "mask_agreement_min": round(float(np.min(agree)), 6),
+        "per_image_agreement": [round(a, 5) for a in agree],
+        "host_serial_ms_per_image": round(float(np.mean(host_ms)), 1),
+        "device_pipeline_ms_per_image_incl_compile": round(float(np.mean(dev_ms)), 1),
+    }
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--images", type=int, default=3)
     p.add_argument("--size", type=int, nargs=2, default=[375, 500])
     p.add_argument("--skip-fast", action="store_true")
+    p.add_argument("--pipeline-study", action="store_true",
+                   help="scales-mode device-vs-host pipeline mask agreement "
+                        "(requires --model)")
+    p.add_argument("--model", default=None, help="trained params checkpoint")
+    p.add_argument("--model-name", default="vgg16",
+                   choices=["vgg16", "resnet101"])
+    p.add_argument("--scales", type=float, nargs="+", default=[0.75, 1.0, 1.25])
     args = p.parse_args(argv)
+
+    if args.pipeline_study:
+        if not args.model:
+            p.error("--pipeline-study requires --model")
+        report = {
+            "pipeline": pipeline_neutrality(
+                args.model, max(args.images, 4), *args.size,
+                scales=args.scales, model_name=args.model_name,
+            )
+        }
+        print(json.dumps(report, indent=2))
+        return
 
     report = {"engines": engine_neutrality(args.images, *args.size)}
     if not args.skip_fast:
