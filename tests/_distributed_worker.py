@@ -48,10 +48,17 @@ def main() -> None:
     from dsrg_tpu.train.stage1 import init_stage1, make_stage1_step
 
     global_batch = 4 * n_proc
+    # geometry via env so the slow production-geometry test (321^2 x 21,
+    # full CRF) reuses this worker; defaults = fast toy geometry
+    crop = int(os.environ.get("DSRG_DIST_CROP", "41"))
+    ncls = int(os.environ.get("DSRG_DIST_CLASSES", "6"))
+    crf_iters = int(os.environ.get("DSRG_DIST_CRF_ITERS", "2"))
     cfg = Stage1Config(
-        batch_size=global_batch, crop_size=41, cue_size=6, num_classes=6, crf_iters=2
+        batch_size=global_batch, crop_size=crop, cue_size=(crop - 1) // 8 + 1,
+        num_classes=ncls, crf_iters=crf_iters,
     )
-    model = DeepLabLargeFOV(num_classes=cfg.num_classes, head_dilations=(2, 4))
+    dil = (2, 4) if crop <= 64 else (6, 12, 18, 24)
+    model = DeepLabLargeFOV(num_classes=cfg.num_classes, head_dilations=dil)
     state, tx, _ = init_stage1(model, cfg)
     step = data_parallel_step(
         make_stage1_step(model, cfg, tx, axis_name="data"), mesh, donate_state=False
@@ -62,11 +69,12 @@ def main() -> None:
     labels = np.zeros((global_batch, cfg.num_classes), np.float32)
     labels[:, 0] = 1.0
     labels[:, 2] = 1.0
+    cs = cfg.cue_size
     full = {
-        "images": rng.normal(size=(global_batch, 41, 41, 3)).astype(np.float32) * 30,
+        "images": rng.normal(size=(global_batch, crop, crop, 3)).astype(np.float32) * 30,
         "labels": labels,
         "cues": (
-            rng.uniform(size=(global_batch, 6, 6, cfg.num_classes)) < 0.1
+            rng.uniform(size=(global_batch, cs, cs, cfg.num_classes)) < 0.1
         ).astype(np.float32)
         * labels[:, None, None, :],
     }
