@@ -183,6 +183,8 @@ def main(argv=None) -> float:
     p.add_argument("--model-name", choices=["vgg16", "resnet101"], default="vgg16")
     p.add_argument("--crf-true-grad", action="store_true",
                    help="train with the true mean-field Jacobian (CRF-as-RNN)")
+    p.add_argument("--crf-fast", action="store_true",
+                   help="bf16 CRF kernel matmuls in the stage-s step")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--two-stage", action="store_true",
                    help="run the FULL run.sh-equivalent recipe (stage-s train "
@@ -249,7 +251,8 @@ def main(argv=None) -> float:
         "--display", "25",
         "--dtype", args.dtype,
         "--model", args.model_name,
-    ] + (["--crf-true-grad"] if args.crf_true_grad else []))
+    ] + (["--crf-true-grad"] if args.crf_true_grad else [])
+      + (["--crf-fast"] if args.crf_fast else []))
     params_path = osp.join(snap_dir, f"step_{args.iters}_params")
 
     pred_dir = osp.join(args.work_dir, "preds")
