@@ -2,9 +2,12 @@
 
 The reference's data layers are synchronous (a dormant producer-queue exists
 in ``AnnotationLayerCOCO.start_batch`` but is never started,
-``pylayers.py:412,467-475``); here host IO/augmentation overlaps device
-compute: a worker thread fills a bounded queue with numpy batches while the
-main thread moves them onto the device (sharded over the mesh when given).
+``pylayers.py:412,467-475``); here host IO/augmentation AND the
+host->device transfer overlap device compute: a worker thread fills a
+bounded queue with batches that are already on device — ``device_put``
+through a slow link (remote-TPU tunnels move ~15 MB/s) can cost more than
+the step itself, so issuing it from the worker hides it behind the previous
+step instead of serializing transfer -> compute in the main loop.
 """
 
 from __future__ import annotations
@@ -14,29 +17,51 @@ import threading
 from typing import Iterable, Iterator
 
 import jax
+import numpy as np
 
 from dsrg_tpu.parallel.mesh import shard_batch
 
 
 class PrefetchLoader:
     def __init__(self, dataset: Iterable[dict], mesh=None, prefetch: int = 2,
-                 half_images: bool = True):
-        """``half_images``: transfer the 'images' tensor as float16 — halves
-        host->device bytes (the train step casts back to f32/bf16; the ~0.1
-        absolute quantization on mean-subtracted pixels is far below the
-        model's bf16 compute noise)."""
+                 half_images: bool = True, device_in_worker: bool = True):
+        """``half_images``: transfer float 'images' tensors as float16 —
+        halves host->device bytes (the train step casts back to f32/bf16;
+        the ~0.1 absolute quantization on mean-subtracted pixels is far
+        below the model's bf16 compute noise).  uint8 canvases ship as-is.
+
+        ``device_in_worker``: issue the device_put from the worker thread
+        (default) so the transfer overlaps the in-flight step; set False to
+        keep the round-2 behavior of transferring in ``__next__``.
+        """
         self.dataset = dataset
         self.mesh = mesh
         self.half_images = half_images
+        self.device_in_worker = device_in_worker
         self.queue: queue.Queue = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
+    def _to_device(self, batch: dict) -> dict:
+        if (self.half_images and "images" in batch
+                and np.issubdtype(np.asarray(batch["images"]).dtype, np.floating)):
+            batch = dict(batch)
+            batch["images"] = np.asarray(batch["images"], np.float16)
+        if self.mesh is not None:
+            return shard_batch(batch, self.mesh)
+        return {k: jax.device_put(v) for k, v in batch.items()}
+
     def _worker(self) -> None:
         for batch in self.dataset:
             if self._stop.is_set():
                 return
+            if self.device_in_worker:
+                try:
+                    batch = self._to_device(batch)
+                except Exception as e:  # surface device errors in the main loop
+                    self.queue.put(e)
+                    return
             self.queue.put(batch)
         self.queue.put(None)
 
@@ -47,16 +72,11 @@ class PrefetchLoader:
         batch = self.queue.get()
         if batch is None:
             raise StopIteration
-        import numpy as np
-
-        if (self.half_images and "images" in batch
-                and np.issubdtype(np.asarray(batch["images"]).dtype, np.floating)):
-            # uint8 canvases ship as-is (smaller than f16; device normalizes)
-            batch = dict(batch)
-            batch["images"] = np.asarray(batch["images"], np.float16)
-        if self.mesh is not None:
-            return shard_batch(batch, self.mesh)
-        return {k: jax.device_put(v) for k, v in batch.items()}
+        if isinstance(batch, Exception):
+            raise batch
+        if not self.device_in_worker:
+            batch = self._to_device(batch)
+        return batch
 
     def close(self) -> None:
         self._stop.set()

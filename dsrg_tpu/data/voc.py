@@ -315,7 +315,9 @@ class Stage2Dataset(_EpochOrder):
             loaded = [self._load_pair(*a) for a in jobs]
         images = np.empty((n, c, c, 3),
                           np.uint8 if self.ship_uint8 else np.float32)
-        labels = np.empty((n, c, c), np.int32)
+        # labels fit uint8 exactly (classes < 255, ignore == 255): 4x fewer
+        # host->device bytes; the step shrinks/compares in f32/int32 anyway
+        labels = np.empty((n, c, c), np.uint8 if self.ship_uint8 else np.int32)
         for i, (img, lab) in enumerate(loaded):
             images[i], labels[i] = img, lab
         return {"images": images, "labels": labels}
