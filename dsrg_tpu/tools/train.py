@@ -89,6 +89,29 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def _flush_metrics(pending, logger):
+    """Materialize deferred step metrics with ONE device->host transfer.
+
+    A separate float() per scalar costs a full round trip each — through a
+    remote-TPU tunnel that is ~40 ms x (display x n_keys) per block, which
+    at display=50 added ~200 ms/step.  Stacking on device first makes it
+    one transfer per display block."""
+    if not pending:
+        return None
+    import jax.numpy as jnp
+
+    keys = sorted(pending[0][1])
+    flat = np.asarray(jnp.stack([m[k] for _, m in pending for k in keys]))
+    averaged = None
+    for row, (itn, _) in enumerate(pending):
+        averaged = logger.log(
+            itn,
+            {k: float(flat[row * len(keys) + i]) for i, k in enumerate(keys)},
+        )
+    pending.clear()
+    return averaged
+
+
 def _override(cfg, args):
     changes = {}
     if args.max_iter is not None:
@@ -262,9 +285,7 @@ def main(argv=None) -> None:
         # tunnels); async dispatch keeps it full
         pending.append((it + 1, metrics))
         if (it + 1) % args.display == 0:
-            for itn, md in pending:
-                averaged = logger.log(itn, {k: float(v) for k, v in md.items()})
-            pending.clear()
+            averaged = _flush_metrics(pending, logger)
         timer.tick()
         if args.profile_dir and it == start_iter + 14 and profiler_ctx is not None:
             profiler_ctx.__exit__(None, None, None)
@@ -290,8 +311,7 @@ def main(argv=None) -> None:
                 path = ckpt.save_checkpoint(args.snapshot_dir, state, it + 1)
                 ckpt.save_params(path + "_params", to_save)
             print("snapshot ->", path, flush=True)
-    for itn, md in pending:  # flush any tail metrics
-        logger.log(itn, {k: float(v) for k, v in md.items()})
+    _flush_metrics(pending, logger)  # flush any tail metrics
     if writer is not None:
         writer.close()  # drain the in-flight snapshot before exit
     loader.close()
