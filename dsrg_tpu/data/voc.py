@@ -233,6 +233,7 @@ class Stage2Dataset(_EpochOrder):
         seed: int = 0,
         workers: int = 8,
         ship_uint8: bool = False,
+        cache_dir: str | None = None,
     ):
         self.root = root
         self.entries = read_pair_list(pair_list)
@@ -246,6 +247,43 @@ class Stage2Dataset(_EpochOrder):
         # reference's pad-then-mean-sub zeros on device)
         self.ship_uint8 = ship_uint8 and np.allclose(self.mean, np.round(self.mean))
         super().__init__(len(self.entries), True, seed)
+        # decoded cache (single-core hosts are decode-bound at batch 10):
+        # images vary in size, so canvases are stored padded to the dataset
+        # max on a fixed-shape sparse memmap, with per-entry valid dims
+        self._cache = None
+        if cache_dir is not None:
+            if not self.ship_uint8:
+                raise ValueError("cache_dir requires ship_uint8=True")
+            import os
+
+            os.makedirs(cache_dir, exist_ok=True)
+            dims = []
+            for img_path, _ in self.entries:
+                with Image.open(self._resolve(img_path)) as im:  # header only
+                    w, h = im.size
+                dims.append((max(h, crop_size), max(w, crop_size)))
+            self._cache_dims = np.asarray(dims, np.int32)
+            ch, cw = int(self._cache_dims[:, 0].max()), int(self._cache_dims[:, 1].max())
+            n = len(self.entries)
+            tag = f"stage2_{crop_size}_{n}_{ch}x{cw}"
+            self._cache_img = np.lib.format.open_memmap(
+                osp.join(cache_dir, tag + "_img.u8"),
+                mode="r+" if osp.exists(osp.join(cache_dir, tag + "_img.u8")) else "w+",
+                dtype=np.uint8, shape=(n, ch, cw, 3),
+            )
+            self._cache_lbl = np.lib.format.open_memmap(
+                osp.join(cache_dir, tag + "_lbl.u8"),
+                mode="r+" if osp.exists(osp.join(cache_dir, tag + "_lbl.u8")) else "w+",
+                dtype=np.uint8, shape=(n, ch, cw),
+            )
+            flag_path = osp.join(cache_dir, tag + ".done")
+            self._cache_flags = (
+                np.fromfile(flag_path, np.uint8).astype(bool)
+                if osp.exists(flag_path)
+                else np.zeros(n, bool)
+            )
+            self._cache_flag_path = flag_path
+            self._cache = True
         self._pool = ThreadPoolExecutor(max_workers=workers) if workers > 1 else None
 
     def __len__(self) -> int:
@@ -260,7 +298,9 @@ class Stage2Dataset(_EpochOrder):
             return p
         return cand
 
-    def _load_pair(self, img_path: str, lbl_path: str, crop_seed: int):
+    def _decode_padded(self, idx: int):
+        """(image, label) decoded and padded to >= crop (pre-crop)."""
+        img_path, lbl_path = self.entries[idx]
         image = load_image_bgr(self._resolve(img_path))
         if self.ship_uint8:
             image = image.astype(np.uint8)  # source pixels are exact ints
@@ -286,6 +326,21 @@ class Stage2Dataset(_EpochOrder):
                 image = np.pad(image, ((0, pad_h), (0, pad_w), (0, 0)))
             label = np.pad(label, ((0, pad_h), (0, pad_w)),
                            constant_values=self.ignore_label)
+        return image, label
+
+    def _load_pair(self, idx: int, crop_seed: int):
+        if self._cache is not None and self._cache_flags[idx]:
+            h, w = self._cache_dims[idx]
+            image = self._cache_img[idx, :h, :w]
+            label = self._cache_lbl[idx, :h, :w]
+        else:
+            image, label = self._decode_padded(idx)
+            if self._cache is not None:
+                h, w = image.shape[:2]
+                self._cache_img[idx, :h, :w] = image
+                self._cache_lbl[idx, :h, :w] = label  # classes+ignore fit uint8
+                self._cache_flags[idx] = True
+        c = self.crop
         h, w = label.shape
         if self.phase == "Train":
             # per-item Generator: thread-safe + order-deterministic
@@ -302,17 +357,19 @@ class Stage2Dataset(_EpochOrder):
     def next_batch(self) -> dict:
         n, c = self.batch_size, self.crop
         base = self._count  # crop seeds keyed to sample index: resume-exact
-        picked = [self.entries[self._next_index()] for _ in range(n)]
+        picked = [self._next_index() for _ in range(n)]
         seeds = [
             int(np.random.SeedSequence((self._seed, base + j)).generate_state(1)[0]
                 % (2**31 - 1))
             for j in range(n)
         ]
-        jobs = [(p[0], p[1], int(s)) for p, s in zip(picked, seeds)]
+        jobs = list(zip(picked, seeds))
         if self._pool is not None:
             loaded = list(self._pool.map(lambda a: self._load_pair(*a), jobs))
         else:
             loaded = [self._load_pair(*a) for a in jobs]
+        if self._cache is not None:
+            self._cache_flags.astype(np.uint8).tofile(self._cache_flag_path)
         images = np.empty((n, c, c, 3),
                           np.uint8 if self.ship_uint8 else np.float32)
         # labels fit uint8 exactly (classes < 255, ignore == 255): 4x fewer

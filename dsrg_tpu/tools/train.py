@@ -63,10 +63,11 @@ def parse_args(argv=None):
                         "heuristic (1-Q)*g CRFLayer backward")
     p.add_argument("--no-mesh", action="store_true", help="force single-device")
     p.add_argument("--cache-decoded", action="store_true",
-                   help="stage s: cache decoded+resized uint8 canvases to a "
-                        "memmap under --snapshot-dir (first epoch decodes, "
-                        "later epochs read at memory speed; implies "
-                        "--ship-uint8)")
+                   help="cache decoded uint8 canvases to a memmap under "
+                        "--snapshot-dir (stage s: resized crops; stage f: "
+                        "max-padded originals + labels).  First epoch "
+                        "decodes, later epochs read at memory speed; "
+                        "implies --ship-uint8")
     p.add_argument("--ship-uint8", action="store_true",
                    help="ship raw uint8 image canvases and mean-subtract on "
                         "device (4x fewer host->device bytes than f32; exact "
@@ -183,10 +184,14 @@ def main(argv=None) -> None:
         cfg = _override(Stage2Config(), args)
         model = build_model(cfg.num_classes)
         state, tx, extra_vars = init_stage2(model, cfg)
+        import os.path as osp
+
         dataset = Stage2Dataset(
             args.root, args.pair_list,
             crop_size=cfg.crop_size, batch_size=cfg.batch_size, seed=cfg.seed,
-            ship_uint8=args.ship_uint8,
+            ship_uint8=args.ship_uint8 or args.cache_decoded,
+            cache_dir=(osp.join(args.snapshot_dir, "decoded_cache")
+                       if args.cache_decoded else None),
         )
         make_step = lambda axis: make_stage2_step(
             model, cfg, tx, axis_name=axis, extra_vars=extra_vars

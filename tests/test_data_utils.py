@@ -221,6 +221,26 @@ def test_stage1_decoded_cache_roundtrip(voc_fixture, tmp_path):
     np.testing.assert_array_equal(third["images"], first[0]["images"])
 
 
+def test_stage2_decoded_cache_roundtrip(voc_fixture, tmp_path):
+    """Stage-2 padded-canvas cache: cache-served crops equal decode-path
+    crops for the same sample indices (variable image sizes)."""
+    mk = lambda root, cache: Stage2Dataset(
+        str(root), str(root / "pairs.txt"), crop_size=48, batch_size=2,
+        workers=1, ship_uint8=True,
+        cache_dir=str(tmp_path / "c2") if cache else None,
+    )
+    root, ids = voc_fixture
+    plain = [mk(root, False).next_batch() for _ in range(1)][0]
+    ds = mk(root, True)
+    filled = ds.next_batch()  # decode+fill
+    for key in plain:
+        np.testing.assert_array_equal(filled[key], plain[key])
+    ds2 = mk(root, True)  # fresh instance, cache-served where filled
+    served = ds2.next_batch()
+    for key in plain:
+        np.testing.assert_array_equal(served[key], plain[key])
+
+
 def test_preprocess_matches_reference_recipe(voc_fixture):
     root, ids = voc_fixture
     from scipy.ndimage import zoom as ndzoom
