@@ -52,16 +52,27 @@ def main(argv=None) -> None:
         os.makedirs(args.output_dir)
 
     predictor = None
+    refine_grow = None
     if args.grow:
-        import jax.numpy as jnp
+        import jax
 
         from dsrg_tpu.ops.crf import crf_refine_probs
         from dsrg_tpu.ops.grow import dsrg_grow
         from dsrg_tpu.ops.softmax import floored_softmax
-        from dsrg_tpu.data.voc import load_image_bgr, preprocess_image
         from dsrg_tpu.tools._infer_common import load_predictor
 
         predictor = load_predictor(args.model, args.num_classes)
+
+        # ONE jitted program for softmax -> CRF refine -> region grow: the
+        # library fns contain fori/while loops and must not run eagerly
+        # (op-by-op dispatch through a remote tunnel is thousands of round
+        # trips per image; dsrg_grow also must be jitted by the CALLER —
+        # see CLAUDE.md on nested pjit)
+        @jax.jit
+        def refine_grow(labels, cues, scores, img):
+            probs = floored_softmax(scores)
+            q = crf_refine_probs(probs, img)
+            return dsrg_grow(labels, cues, q, th1=args.th1, th2=args.th2)
 
     for index, (fname, image_id) in enumerate(rows):
         if index % 100 == 0:
@@ -69,22 +80,14 @@ def main(argv=None) -> None:
         img_id = osp.splitext(osp.basename(fname))[0]
         labels, cues = cue_db.get(int(image_id))
         if args.grow:
-            import jax.numpy as jnp
-
-            from dsrg_tpu.ops.crf import crf_refine_probs
-            from dsrg_tpu.ops.grow import dsrg_grow
-            from dsrg_tpu.ops.softmax import floored_softmax
             from dsrg_tpu.data.voc import load_image_bgr, preprocess_image
 
             img = load_image_bgr(osp.join(args.data_dir, "JPEGImages", img_id + ".jpg"))
             img = preprocess_image(img, 321)
             scores = predictor.scores_at_size(img)
-            probs = np.asarray(floored_softmax(jnp.asarray(scores[None])))
-            q = np.asarray(
-                crf_refine_probs(probs, jnp.asarray(img[None].astype(np.float32)))
-            )
             cues = np.asarray(
-                dsrg_grow(labels[None], cues[None], q, th1=args.th1, th2=args.th2)
+                refine_grow(labels[None], cues[None], scores[None],
+                            img[None].astype(np.float32))
             )[0]
         write_png(cues_to_mask(cues), osp.join(args.output_dir, img_id + "_cue.png"))
 

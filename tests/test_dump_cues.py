@@ -49,3 +49,49 @@ def test_dump_cues_and_ap(tmp_path):
     ])
     content = open(save_path).read()
     assert "meanIOU:" in content and "mean accuracy:" in content
+
+
+def test_dump_cues_grow_path(tmp_path):
+    """--grow runs the jitted softmax->CRF->region-grow pipeline per image;
+    grown cue masks stay valid label maps and keep the original seeds'
+    classes present.  (The pipeline MUST be one jit — eager while/fori
+    loops dispatch op-by-op, which hangs through remote-TPU tunnels.)"""
+    import jax.numpy as jnp
+
+    from dsrg_tpu.models import DeepLabLargeFOV
+    from dsrg_tpu.train.checkpoint import save_params
+
+    root = tmp_path
+    (root / "JPEGImages").mkdir()
+    rng = np.random.default_rng(1)
+    entries, rows = {}, []
+    for i in range(2):
+        img_id = f"2007_{i:06d}"
+        Image.fromarray(rng.integers(0, 255, (60, 70, 3)).astype(np.uint8)).save(
+            root / "JPEGImages" / f"{img_id}.jpg"
+        )
+        entries[i] = (
+            np.array([2]),
+            (np.array([0, 2]), np.array([3, 20]), np.array([4, 21])),
+        )
+        rows.append(f"{img_id}.jpg {i}")
+    save_cue_db(str(root / "cues.pickle"), entries)
+    (root / "input_list.txt").write_text("\n".join(rows) + "\n")
+
+    model = DeepLabLargeFOV(num_classes=6)  # load_predictor's default heads
+    params = model.init(
+        {"params": __import__("jax").random.PRNGKey(0)},
+        jnp.zeros((1, 321, 321, 3)), train=False,
+    )["params"]
+    save_params(str(root / "params"), params)
+
+    out = str(root / "grown")
+    dump_cues.main([
+        "--images", str(root / "input_list.txt"), "--dir", str(root),
+        "--cues", str(root / "cues.pickle"), "--output", out,
+        "--num-classes", "6", "--grow", "--model", str(root / "params"),
+    ])
+    for i in range(2):
+        m = np.asarray(Image.open(osp.join(out, f"2007_{i:06d}_cue.png")))
+        assert m.shape == (41, 41)
+        assert set(np.unique(m)).issubset(set(range(6)) | {255})
