@@ -48,6 +48,13 @@ def build_arg_parser(description: str) -> argparse.ArgumentParser:
                    help="data-parallel the device pipeline over all visible "
                         "devices (1-axis mesh, batch sharded, weights "
                         "replicated; chunks pad to a mesh-divisible batch)")
+    p.add_argument("--canvas-bucket", default=32, type=int,
+                   help="device pipeline: round the shared chunk canvas up "
+                        "to multiples of this (px).  Datasets with widely "
+                        "varying sizes want a LARGE value (e.g. 512) so "
+                        "every chunk reuses ONE compiled canvas — each new "
+                        "canvas shape is a fresh XLA compile, minutes each "
+                        "through a remote tunnel")
     p.add_argument("--pipeline", default="auto", choices=["auto", "host", "device"],
                    help="batched execution pipeline: device = whole multi-scale "
                         "pass (resize/forward/fuse/CRF/argmax) as one device "
@@ -136,6 +143,7 @@ def run_inference(
             scales=scales,
             chunk=chunk,
             smooth=args.smooth,
+            canvas_bucket=int(getattr(args, "canvas_bucket", 32)),
         )
         for n, (img_id, (_, mask)) in enumerate(zip(image_ids, stream)):
             print(n, img_id, flush=True)

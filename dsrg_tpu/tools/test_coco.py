@@ -61,7 +61,8 @@ def run_coco(args, sizes=None, scales=None) -> float:
                 yield img
 
         stream = predictor.iter_masks_device(
-            gen(), sizes=sizes, scales=scales, chunk=chunk, smooth=args.smooth
+            gen(), sizes=sizes, scales=scales, chunk=chunk, smooth=args.smooth,
+            canvas_bucket=int(getattr(args, "canvas_bucket", 32)),
         )
         for index, (_, mask) in enumerate(stream):
             score(index, kept[index], mask)
