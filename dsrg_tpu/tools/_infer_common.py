@@ -48,6 +48,9 @@ def build_arg_parser(description: str) -> argparse.ArgumentParser:
                    help="data-parallel the device pipeline over all visible "
                         "devices (1-axis mesh, batch sharded, weights "
                         "replicated; chunks pad to a mesh-divisible batch)")
+    p.add_argument("--skip-existing", action="store_true",
+                   help="skip ids whose output png already exists (resume "
+                        "an interrupted dump)")
     p.add_argument("--canvas-bucket", default=32, type=int,
                    help="device pipeline: round the shared chunk canvas up "
                         "to multiples of this (px).  Datasets with widely "
@@ -129,6 +132,14 @@ def run_inference(
     data_dir = osp.join(args.data_dir, "JPEGImages")
     if args.output_dir and not osp.isdir(args.output_dir):
         os.makedirs(args.output_dir)
+    if getattr(args, "skip_existing", False) and args.output_dir:
+        before = len(image_ids)
+        image_ids = [
+            i for i in image_ids
+            if not osp.exists(osp.join(args.output_dir, i + ".png"))
+        ]
+        print(f"skip-existing: {before - len(image_ids)} done, "
+              f"{len(image_ids)} to go", flush=True)
     engine, chunk, pipeline, use_device = resolve_pipeline(args, sizes, scales)
 
     def _load(i):
