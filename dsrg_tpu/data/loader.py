@@ -53,17 +53,19 @@ class PrefetchLoader:
         return {k: jax.device_put(v) for k, v in batch.items()}
 
     def _worker(self) -> None:
-        for batch in self.dataset:
-            if self._stop.is_set():
-                return
-            if self.device_in_worker:
-                try:
-                    batch = self._to_device(batch)
-                except Exception as e:  # surface device errors in the main loop
-                    self.queue.put(e)
+        # Any exception here (dataset iteration: decode/memmap/disk IO, or
+        # device_put) must reach the main loop — a silently dead producer
+        # would leave __next__ blocked on the queue forever.
+        try:
+            for batch in self.dataset:
+                if self._stop.is_set():
                     return
-            self.queue.put(batch)
-        self.queue.put(None)
+                if self.device_in_worker:
+                    batch = self._to_device(batch)
+                self.queue.put(batch)
+            self.queue.put(None)
+        except Exception as e:
+            self.queue.put(e)
 
     def __iter__(self) -> Iterator[dict]:
         return self

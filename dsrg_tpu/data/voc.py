@@ -64,6 +64,25 @@ def preprocess_image(
     return img - mean
 
 
+def _files_fingerprint(paths) -> str:
+    """Short content fingerprint of a file list: (path, size, mtime_ns).
+
+    Decoded-canvas cache tags embed this so a regenerated dataset or a
+    re-dumped pseudo-GT set with the same counts/dims invalidates the cache
+    instead of silently serving stale canvases/labels.  stat() only — no
+    file reads — so ~10k entries cost milliseconds.
+    """
+    import hashlib
+    import os
+
+    h = hashlib.blake2b(digest_size=8)
+    for p in paths:
+        st = os.stat(p)
+        h.update(p.encode())
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()
+
+
 class _EpochOrder:
     """Deterministic epoch-permutation sampling.
 
@@ -147,8 +166,11 @@ class Stage1Dataset(_EpochOrder):
             import os
 
             os.makedirs(cache_dir, exist_ok=True)
+            fp = _files_fingerprint(
+                osp.join(image_dir, fname) for fname, _ in self.entries
+            )
             path = osp.join(
-                cache_dir, f"stage1_{crop_size}_{len(self.entries)}.u8"
+                cache_dir, f"stage1_{crop_size}_{len(self.entries)}_{fp}.u8"
             )
             self._cache = np.lib.format.open_memmap(
                 path, mode="r+" if osp.exists(path) else "w+",
@@ -162,6 +184,7 @@ class Stage1Dataset(_EpochOrder):
                 else np.zeros(len(self.entries), bool)
             )
             self._cache_flag_path = flag_path
+            self._cache_dirty = False
         super().__init__(len(self.entries), shuffle, seed)
         # PIL/scipy release the GIL in decode/zoom, so threads parallelize IO
         self._pool = ThreadPoolExecutor(max_workers=workers) if workers > 1 else None
@@ -184,6 +207,7 @@ class Stage1Dataset(_EpochOrder):
             if self._cache is not None:
                 self._cache[idx] = image
                 self._cache_flags[idx] = True
+                self._cache_dirty = True
         else:
             image = preprocess_image(img, self.crop_size)
         return image, labels, cues
@@ -197,8 +221,9 @@ class Stage1Dataset(_EpochOrder):
             loaded = list(self._pool.map(self._load_one, picked))
         else:
             loaded = [self._load_one(e) for e in picked]
-        if self._cache is not None:
+        if self._cache is not None and self._cache_dirty:
             self._cache_flags.astype(np.uint8).tofile(self._cache_flag_path)
+            self._cache_dirty = False
         images = np.empty((n, self.crop_size, self.crop_size, 3),
                           np.uint8 if self.ship_uint8 else np.float32)
         labels = np.empty((n, m), np.float32)
@@ -244,8 +269,17 @@ class Stage2Dataset(_EpochOrder):
         self.phase = phase
         # uint8 shipping is EXACT for stage 2 (no resize: source pixels are
         # integers, and padding with the integer BGR mean reproduces the
-        # reference's pad-then-mean-sub zeros on device)
-        self.ship_uint8 = ship_uint8 and np.allclose(self.mean, np.round(self.mean))
+        # reference's pad-then-mean-sub zeros on device).  The on-device
+        # normalize subtracts the fixed stage-1 BGR_MEAN constant
+        # (train/stage1.py:_device_normalize), so a custom mean cannot ride
+        # the uint8 path — fail loudly rather than normalize wrongly.
+        if ship_uint8 and not np.array_equal(self.mean, BGR_MEAN):
+            raise ValueError(
+                "ship_uint8=True moves mean-subtraction on device, which uses "
+                f"the fixed BGR_MEAN {tuple(BGR_MEAN)}; got mean="
+                f"{tuple(self.mean)}. Use the float path for custom means."
+            )
+        self.ship_uint8 = ship_uint8
         super().__init__(len(self.entries), True, seed)
         # decoded cache (single-core hosts are decode-bound at batch 10):
         # images vary in size, so canvases are stored padded to the dataset
@@ -257,15 +291,25 @@ class Stage2Dataset(_EpochOrder):
             import os
 
             os.makedirs(cache_dir, exist_ok=True)
-            dims = []
-            for img_path, _ in self.entries:
-                with Image.open(self._resolve(img_path)) as im:  # header only
-                    w, h = im.size
-                dims.append((max(h, crop_size), max(w, crop_size)))
-            self._cache_dims = np.asarray(dims, np.int32)
-            ch, cw = int(self._cache_dims[:, 0].max()), int(self._cache_dims[:, 1].max())
+            # fingerprint BOTH columns: re-dumped pseudo-GT (same image list,
+            # new label pngs) must invalidate the label cache
+            fp = _files_fingerprint(
+                self._resolve(p) for pair in self.entries for p in pair
+            )
             n = len(self.entries)
-            tag = f"stage2_{crop_size}_{n}_{ch}x{cw}"
+            tag = f"stage2_{crop_size}_{n}_{fp}"
+            dims_path = osp.join(cache_dir, tag + "_dims.npy")
+            if osp.exists(dims_path):
+                self._cache_dims = np.load(dims_path)
+            else:
+                dims = []
+                for img_path, _ in self.entries:
+                    with Image.open(self._resolve(img_path)) as im:  # header only
+                        w, h = im.size
+                    dims.append((max(h, crop_size), max(w, crop_size)))
+                self._cache_dims = np.asarray(dims, np.int32)
+                np.save(dims_path, self._cache_dims)
+            ch, cw = int(self._cache_dims[:, 0].max()), int(self._cache_dims[:, 1].max())
             self._cache_img = np.lib.format.open_memmap(
                 osp.join(cache_dir, tag + "_img.u8"),
                 mode="r+" if osp.exists(osp.join(cache_dir, tag + "_img.u8")) else "w+",
@@ -283,6 +327,7 @@ class Stage2Dataset(_EpochOrder):
                 else np.zeros(n, bool)
             )
             self._cache_flag_path = flag_path
+            self._cache_dirty = False
             self._cache = True
         self._pool = ThreadPoolExecutor(max_workers=workers) if workers > 1 else None
 
@@ -340,6 +385,7 @@ class Stage2Dataset(_EpochOrder):
                 self._cache_img[idx, :h, :w] = image
                 self._cache_lbl[idx, :h, :w] = label  # classes+ignore fit uint8
                 self._cache_flags[idx] = True
+                self._cache_dirty = True
         c = self.crop
         h, w = label.shape
         if self.phase == "Train":
@@ -368,8 +414,9 @@ class Stage2Dataset(_EpochOrder):
             loaded = list(self._pool.map(lambda a: self._load_pair(*a), jobs))
         else:
             loaded = [self._load_pair(*a) for a in jobs]
-        if self._cache is not None:
+        if self._cache is not None and self._cache_dirty:
             self._cache_flags.astype(np.uint8).tofile(self._cache_flag_path)
+            self._cache_dirty = False
         images = np.empty((n, c, c, 3),
                           np.uint8 if self.ship_uint8 else np.float32)
         # labels fit uint8 exactly (classes < 255, ignore == 255): 4x fewer

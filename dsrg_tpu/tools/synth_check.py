@@ -117,7 +117,8 @@ def _run_coco_proof(args, root: str) -> float:
         "--batch-size", str(args.batch_size), "--crop-size", str(args.size),
         "--snapshot-every", str(args.iters), "--display", "25",
         "--dtype", args.dtype, "--model", args.model_name,
-    ])
+    ] + (["--crf-true-grad"] if args.crf_true_grad else [])
+      + (["--crf-fast"] if args.crf_fast else []))
     model_path = osp.join(snap, f"step_{args.iters}_params")
 
     def coco_eval(model, out_dir):

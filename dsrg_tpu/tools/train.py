@@ -158,14 +158,21 @@ def main(argv=None) -> None:
         cfg = _override(Stage1Config(), args)
         model = build_model(cfg.num_classes)
         state, tx, extra_vars = init_stage1(model, cfg)
+        input_mean = None
         if args.dataset == "coco":
-            from dsrg_tpu.data.coco import COCOCueDataset
+            import os.path as osp
+
+            from dsrg_tpu.data.coco import COCO_MEAN, COCOCueDataset
 
             dataset = COCOCueDataset(
                 args.root, args.pair_list, batch_size=cfg.batch_size,
                 new_size=(cfg.crop_size, cfg.crop_size),
                 num_classes=cfg.num_classes, seed=cfg.seed,
+                ship_uint8=args.ship_uint8 or args.cache_decoded,
+                cache_dir=(osp.join(args.snapshot_dir, "decoded_cache")
+                           if args.cache_decoded else None),
             )
+            input_mean = tuple(float(m) for m in COCO_MEAN)
         else:
             cue_db = CueDB(args.cues, num_classes=cfg.num_classes, cue_size=cfg.cue_size)
             import os.path as osp
@@ -177,8 +184,9 @@ def main(argv=None) -> None:
                 cache_dir=(osp.join(args.snapshot_dir, "decoded_cache")
                            if args.cache_decoded else None),
             )
+        step_kwargs = {} if input_mean is None else {"input_mean": input_mean}
         make_step = lambda axis: make_stage1_step(
-            model, cfg, tx, axis_name=axis, extra_vars=extra_vars
+            model, cfg, tx, axis_name=axis, extra_vars=extra_vars, **step_kwargs
         )
     else:
         cfg = _override(Stage2Config(), args)

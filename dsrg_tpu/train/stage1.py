@@ -38,10 +38,14 @@ from dsrg_tpu.train.train_state import TrainState
 BGR_MEAN = (104.0, 117.0, 123.0)
 
 
-def _device_normalize(images):
-    """Accept f32/f16 mean-subtracted images or raw uint8 BGR canvases."""
+def _device_normalize(images, mean=BGR_MEAN):
+    """Accept f32/f16 mean-subtracted images or raw uint8 BGR canvases.
+
+    ``mean`` is the channel mean subtracted on the uint8 path (static at
+    trace time) — VOC uses BGR_MEAN, the COCO loader ships COCO_MEAN.
+    """
     if images.dtype == jnp.uint8:
-        return images.astype(jnp.float32) - jnp.asarray(BGR_MEAN, jnp.float32)
+        return images.astype(jnp.float32) - jnp.asarray(mean, jnp.float32)
     return images.astype(jnp.float32)
 
 
@@ -59,6 +63,7 @@ def make_stage1_step(
     tx: optax.GradientTransformation,
     axis_name: str | None = None,
     extra_vars: dict | None = None,
+    input_mean=BGR_MEAN,
 ):
     """Build the (state, batch) -> (state, metrics) step function.
 
@@ -84,7 +89,7 @@ def make_stage1_step(
             # ~20 ms/step at batch 20; 'rbg' is near-free on TPU.
             drop_seed = jax.random.randint(drop_rng, (), 0, jnp.iinfo(jnp.int32).max)
             drop_rng = jax.random.key(drop_seed, impl="rbg")
-        images = _device_normalize(batch["images"])
+        images = _device_normalize(batch["images"], input_mean)
         labels = batch["labels"]
         cues = batch["cues"].astype(jnp.float32)  # loaders may ship uint8 {0,1}
 

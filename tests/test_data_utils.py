@@ -265,3 +265,42 @@ def test_confusion_matrix_jax_matches_numpy():
     got = np.asarray(confusion_matrix_jax(jnp.asarray(gt), jnp.asarray(pred), 5))
     ref = confusion_matrix_np(gt, pred, 5)
     np.testing.assert_array_equal(got, ref)
+
+
+def test_stage2_ship_uint8_rejects_custom_mean(voc_fixture):
+    """ship_uint8 moves mean-sub on device (fixed BGR_MEAN constant): a
+    custom mean must fail loudly, not normalize wrongly or silently
+    fall back."""
+    root, ids = voc_fixture
+    with pytest.raises(ValueError, match="BGR_MEAN"):
+        Stage2Dataset(
+            str(root), str(root / "pairs.txt"), crop_size=48, batch_size=2,
+            workers=1, ship_uint8=True, mean=np.array([110.0, 120.0, 125.0]),
+        )
+
+
+def test_stage2_cache_invalidated_on_pseudo_gt_redump(voc_fixture, tmp_path):
+    """The two-round DSRG workflow re-dumps pseudo-GT over the same image
+    list: the decoded cache tag fingerprints label files, so the retrain
+    reads the NEW labels instead of stale cached ones."""
+    import time
+
+    root, ids = voc_fixture
+    mk = lambda: Stage2Dataset(
+        str(root), str(root / "pairs.txt"), crop_size=48, batch_size=2,
+        workers=1, ship_uint8=True, cache_dir=str(tmp_path / "c"),
+    )
+    ds = mk()
+    for _ in range(3):
+        ds.next_batch()
+    assert ds._cache_flags.any()
+    # rewrite one pseudo-GT png with a new constant label
+    lbl_path = ds._resolve(ds.entries[0][1])
+    old_shape = np.asarray(Image.open(lbl_path)).shape[:2]
+    new = np.full(old_shape, 3, np.uint8)
+    time.sleep(0.01)
+    Image.fromarray(new).save(lbl_path)
+    ds2 = mk()
+    assert not ds2._cache_flags.any()  # new fingerprint -> cold cache
+    _, label = ds2._load_pair(0, crop_seed=1)
+    assert set(np.unique(label)) <= {3, 255}

@@ -26,6 +26,23 @@ def test_prefetch_loader_close_midstream():
     loader.close()  # no hang/leak
 
 
+class _PoisonDataset:
+    """Raises partway through iteration (corrupt file, disk full, ...)."""
+
+    def __iter__(self):
+        yield {"x": np.zeros((2, 2), np.float32)}
+        raise OSError("decode failed")
+
+
+def test_prefetch_loader_surfaces_dataset_exception():
+    """A dataset-iteration failure must reach the consumer, not kill the
+    producer thread silently (which would hang the main loop forever)."""
+    loader = PrefetchLoader(_PoisonDataset(), prefetch=2)
+    next(loader)
+    with pytest.raises(OSError, match="decode failed"):
+        next(loader)
+
+
 @pytest.mark.slow
 def test_train_cli_validation(tmp_path):
     """--val-every path: tiny train run with in-loop mIoU validation."""
