@@ -1,0 +1,199 @@
+"""Train-step hot-spot profiler: where do the stage-1 step's 96 ms go?
+
+The step is conv-bound (STATUS.md): the four dilated fc6 heads
+(3x3x512x1024 at dilation 6/12/18/24 on the 41^2 map,
+``train-s.prototxt:395-730``) carry ~40% of total FLOPs, so they are the
+one place XLA's dilated-conv lowering could leave MXU headroom.  This tool
+times, via in-jit rep loops (the only honest method through the ~40 ms
+dispatch-latency tunnel — ``bench.py::_device_ms``):
+
+  1. the full model forward (bf16, batch 20 @ 321^2),
+  2. the 4-head fc6 stack as ``lax.conv_general_dilated`` (what flax emits),
+  3. the same math as 9 static pad/slice shifts + per-tap matmuls
+     (``heads_fc6_shift``) — the "dilated conv is just 9 shifted GEMMs"
+     reformulation,
+  4. variant 3 with the 4 heads batched into one einsum per tap,
+
+fwd and fwd+bwd, and checks 2 == 3 == 4 numerically first.  If a variant
+wins by more than tunnel noise, the model adopts it; either way the numbers
+get recorded in STATUS.md.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+DILATIONS = (6, 12, 18, 24)
+
+
+def heads_fc6_conv(x, ws):
+    """Reference formulation: one dilated conv per head.
+
+    x: (B, H, W, C); ws: (4, 3, 3, C, O).  Returns (4, B, H, W, O).
+    """
+    import jax
+
+    outs = []
+    for k, d in enumerate(DILATIONS):
+        outs.append(
+            jax.lax.conv_general_dilated(
+                x, ws[k], (1, 1), [(d, d), (d, d)], rhs_dilation=(d, d),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        )
+    import jax.numpy as jnp
+
+    return jnp.stack(outs)
+
+
+def _tap_slices(x, d):
+    """The 9 zero-padded shifts of ``x`` at offsets {-d, 0, +d}^2."""
+    import jax.numpy as jnp
+
+    h, w = x.shape[1], x.shape[2]
+    xp = jnp.pad(x, ((0, 0), (d, d), (d, d), (0, 0)))
+    return [
+        xp[:, ky * d : ky * d + h, kx * d : kx * d + w, :]
+        for ky in range(3)
+        for kx in range(3)
+    ]
+
+
+def heads_fc6_shift(x, ws):
+    """Same math as 9 static shifts + per-tap (BHW, C) @ (C, O) matmuls."""
+    import jax.numpy as jnp
+
+    outs = []
+    for k, d in enumerate(DILATIONS):
+        acc = None
+        for t, xs in enumerate(_tap_slices(x, d)):
+            y = jnp.einsum("bhwc,co->bhwo", xs, ws[k, t // 3, t % 3])
+            acc = y if acc is None else acc + y
+        outs.append(acc)
+    return jnp.stack(outs)
+
+
+def heads_fc6_shift_batched(x, ws):
+    """Variant: per tap, batch the 4 heads into one einsum (the operands
+    still differ per head — each head shifts by its own dilation — so this
+    only changes how XLA sees the GEMM batching)."""
+    import jax.numpy as jnp
+
+    taps = [_tap_slices(x, d) for d in DILATIONS]  # [head][tap]
+    acc = None
+    for t in range(9):
+        xs = jnp.stack([taps[k][t] for k in range(4)])  # (4, B, H, W, C)
+        y = jnp.einsum("kbhwc,kco->kbhwo", xs, ws[:, t // 3, t % 3])
+        acc = y if acc is None else acc + y
+    return acc
+
+
+def check_equivalence():
+    """fp32 numerical agreement of the three formulations (tiny shapes)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 51, 51, 8)).astype(np.float32))
+    ws = jnp.asarray(rng.normal(size=(4, 3, 3, 8, 16)).astype(np.float32))
+    a = np.asarray(heads_fc6_conv(x, ws))
+    b = np.asarray(heads_fc6_shift(x, ws))
+    c = np.asarray(heads_fc6_shift_batched(x, ws))
+    err_b = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+    err_c = np.abs(a - c).max() / (np.abs(a).max() + 1e-9)
+    assert err_b < 1e-5 and err_c < 1e-5, (err_b, err_c)
+    return float(err_b), float(err_c)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    from bench import _device_ms, _enable_compile_cache
+
+    _enable_compile_cache()
+    eb, ec = check_equivalence()
+    print(f"equivalence ok: shift {eb:.2e}, batched {ec:.2e}", flush=True)
+
+    B, S, C, O = 20, 41, 512, 1024
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, S, S, C)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    ws = jnp.asarray(
+        (rng.normal(size=(4, 3, 3, C, O)) * 0.01).astype(np.float32)
+    ).astype(jnp.bfloat16)
+
+    results = {}
+
+    def fwd_ms(fn, name, reps=30):
+        ms = _device_ms(
+            lambda acc: fn(x + acc.astype(x.dtype) * 1e-30, ws)
+            .astype(jnp.float32)
+            .mean(),
+            reps=reps,
+        )
+        results[name + "_fwd_ms"] = round(ms, 2)
+        print(f"{name} fwd: {ms:.2f} ms", flush=True)
+
+    def fwdbwd_ms(fn, name, reps=20):
+        g = jax.grad(
+            lambda xx, ww: fn(xx, ww).astype(jnp.float32).mean(), argnums=(0, 1)
+        )
+
+        def body(acc):
+            gx, gw = g(x + acc.astype(x.dtype) * 1e-30, ws)
+            return gx.astype(jnp.float32).mean() + gw.astype(jnp.float32).mean()
+
+        ms = _device_ms(body, reps=reps)
+        results[name + "_fwdbwd_ms"] = round(ms, 2)
+        print(f"{name} fwd+bwd: {ms:.2f} ms", flush=True)
+
+    for fn, name in [
+        (heads_fc6_conv, "conv"),
+        (heads_fc6_shift, "shift"),
+        (heads_fc6_shift_batched, "shift_batched"),
+    ]:
+        fwd_ms(fn, name)
+        fwdbwd_ms(fn, name)
+
+    # full-model forward for the head-share denominator
+    from dsrg_tpu.models import DeepLabLargeFOV
+
+    model = DeepLabLargeFOV(num_classes=21, compute_dtype=jnp.bfloat16)
+    xi = jnp.asarray(rng.normal(size=(B, 321, 321, 3)).astype(np.float32) * 40)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, xi[:1], train=False)
+    ms = _device_ms(
+        lambda acc: model.apply(variables, xi + acc.astype(xi.dtype) * 1e-30,
+                                train=False).astype(jnp.float32).mean(),
+        reps=20,
+    )
+    results["model_fwd_ms"] = round(ms, 2)
+    print(f"full model fwd (batch {B} @ 321^2): {ms:.2f} ms", flush=True)
+    # theoretical fc6 GEMM floor on this chip: measure one equivalent-FLOP
+    # plain matmul chain (M = B*41^2 = 33620, K = 512, N = 1024) x 36
+    a = jnp.asarray(rng.normal(size=(B * S * S, C)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    bm = jnp.asarray(rng.normal(size=(C, O)).astype(np.float32)).astype(jnp.bfloat16)
+
+    def gemm_chain(acc):
+        out = None
+        aa = a + acc.astype(a.dtype) * 1e-30
+        for _ in range(36):
+            y = aa @ bm
+            out = y if out is None else out + y
+        return out.astype(jnp.float32).mean()
+
+    ms = _device_ms(gemm_chain, reps=20)
+    results["equiv_gemm36_ms"] = round(ms, 2)
+    print(f"36x plain GEMM same FLOPs: {ms:.2f} ms", flush=True)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
