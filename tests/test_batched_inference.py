@@ -184,6 +184,12 @@ def test_device_pipeline_fuzz_geometries():
             masks = predictor.predict_masks_device(
                 images, sizes=sizes, smooth=False, canvas_bucket=bucket
             )
+            # sizes mode is host-path-equivalent at every geometry: oracle-
+            # check one image per trial against the serial pipeline (bounded
+            # cost — each serial run compiles per shape)
+            serial = predictor.predict_mask(images[0], sizes=sizes, smooth=False)
+            agree = (masks[0] == serial).mean()
+            assert agree > 0.99, (agree, sizes, bucket, images[0].shape)
         else:
             scales = sorted(float(s) for s in rng.uniform(0.6, 1.4, size=2))
             masks = predictor.predict_masks_device(
