@@ -108,7 +108,18 @@ def check_equivalence():
     return float(err_b), float(err_c)
 
 
-def main():
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/profile_step.jsonl",
+                    help="incremental JSONL results (survives a killed run)")
+    ap.add_argument("--phases", nargs="+", default=[
+        "conv_fwd", "shift_fwd", "shift_batched_fwd", "gemm36", "model_fwd",
+        "conv_fwdbwd", "shift_fwdbwd", "shift_batched_fwdbwd",
+    ], help="measurements to run, cheap/safe first")
+    args = ap.parse_args(argv)
+
     import jax
     import jax.numpy as jnp
 
@@ -116,6 +127,14 @@ def main():
     from bench import _device_ms, _enable_compile_cache
 
     _enable_compile_cache()
+    out = open(args.out, "a")
+
+    def emit(name, ms):
+        rec = {name: round(ms, 2)}
+        out.write(json.dumps(rec) + "\n")
+        out.flush()
+        print(json.dumps(rec), flush=True)
+
     eb, ec = check_equivalence()
     print(f"equivalence ok: shift {eb:.2e}, batched {ec:.2e}", flush=True)
 
@@ -127,20 +146,21 @@ def main():
     ws = jnp.asarray(
         (rng.normal(size=(4, 3, 3, C, O)) * 0.01).astype(np.float32)
     ).astype(jnp.bfloat16)
+    fns = {
+        "conv": heads_fc6_conv,
+        "shift": heads_fc6_shift,
+        "shift_batched": heads_fc6_shift_batched,
+    }
 
-    results = {}
-
-    def fwd_ms(fn, name, reps=30):
-        ms = _device_ms(
+    def fwd_ms(fn, reps=30):
+        return _device_ms(
             lambda acc: fn(x + acc.astype(x.dtype) * 1e-30, ws)
             .astype(jnp.float32)
             .mean(),
             reps=reps,
         )
-        results[name + "_fwd_ms"] = round(ms, 2)
-        print(f"{name} fwd: {ms:.2f} ms", flush=True)
 
-    def fwdbwd_ms(fn, name, reps=20):
+    def fwdbwd_ms(fn, reps=15):
         g = jax.grad(
             lambda xx, ww: fn(xx, ww).astype(jnp.float32).mean(), argnums=(0, 1)
         )
@@ -149,50 +169,48 @@ def main():
             gx, gw = g(x + acc.astype(x.dtype) * 1e-30, ws)
             return gx.astype(jnp.float32).mean() + gw.astype(jnp.float32).mean()
 
-        ms = _device_ms(body, reps=reps)
-        results[name + "_fwdbwd_ms"] = round(ms, 2)
-        print(f"{name} fwd+bwd: {ms:.2f} ms", flush=True)
+        return _device_ms(body, reps=reps)
 
-    for fn, name in [
-        (heads_fc6_conv, "conv"),
-        (heads_fc6_shift, "shift"),
-        (heads_fc6_shift_batched, "shift_batched"),
-    ]:
-        fwd_ms(fn, name)
-        fwdbwd_ms(fn, name)
+    for phase in args.phases:
+        if phase.endswith("_fwdbwd"):
+            emit(phase, fwdbwd_ms(fns[phase[: -len("_fwdbwd")]]))
+        elif phase in ("conv_fwd", "shift_fwd", "shift_batched_fwd"):
+            emit(phase, fwd_ms(fns[phase[: -len("_fwd")]]))
+        elif phase == "model_fwd":
+            from dsrg_tpu.models import DeepLabLargeFOV
 
-    # full-model forward for the head-share denominator
-    from dsrg_tpu.models import DeepLabLargeFOV
+            model = DeepLabLargeFOV(num_classes=21, compute_dtype=jnp.bfloat16)
+            xi = jnp.asarray(
+                rng.normal(size=(B, 321, 321, 3)).astype(np.float32) * 40
+            )
+            variables = model.init(
+                {"params": jax.random.PRNGKey(0)}, xi[:1], train=False
+            )
+            emit(phase, _device_ms(
+                lambda acc: model.apply(
+                    variables, xi + acc.astype(xi.dtype) * 1e-30, train=False
+                ).astype(jnp.float32).mean(),
+                reps=20,
+            ))
+        elif phase == "gemm36":
+            # equivalent-FLOP plain GEMM chain: the MXU floor for the fc6
+            # math (M = B*41^2 = 33620, K = 512, N = 1024) x 36
+            a = jnp.asarray(
+                rng.normal(size=(B * S * S, C)).astype(np.float32)
+            ).astype(jnp.bfloat16)
+            bm = jnp.asarray(
+                rng.normal(size=(C, O)).astype(np.float32)
+            ).astype(jnp.bfloat16)
 
-    model = DeepLabLargeFOV(num_classes=21, compute_dtype=jnp.bfloat16)
-    xi = jnp.asarray(rng.normal(size=(B, 321, 321, 3)).astype(np.float32) * 40)
-    variables = model.init({"params": jax.random.PRNGKey(0)}, xi[:1], train=False)
-    ms = _device_ms(
-        lambda acc: model.apply(variables, xi + acc.astype(xi.dtype) * 1e-30,
-                                train=False).astype(jnp.float32).mean(),
-        reps=20,
-    )
-    results["model_fwd_ms"] = round(ms, 2)
-    print(f"full model fwd (batch {B} @ 321^2): {ms:.2f} ms", flush=True)
-    # theoretical fc6 GEMM floor on this chip: measure one equivalent-FLOP
-    # plain matmul chain (M = B*41^2 = 33620, K = 512, N = 1024) x 36
-    a = jnp.asarray(rng.normal(size=(B * S * S, C)).astype(np.float32)).astype(
-        jnp.bfloat16
-    )
-    bm = jnp.asarray(rng.normal(size=(C, O)).astype(np.float32)).astype(jnp.bfloat16)
+            def gemm_chain(acc):
+                outv = None
+                aa = a + acc.astype(a.dtype) * 1e-30
+                for _ in range(36):
+                    y = aa @ bm
+                    outv = y if outv is None else outv + y
+                return outv.astype(jnp.float32).mean()
 
-    def gemm_chain(acc):
-        out = None
-        aa = a + acc.astype(a.dtype) * 1e-30
-        for _ in range(36):
-            y = aa @ bm
-            out = y if out is None else out + y
-        return out.astype(jnp.float32).mean()
-
-    ms = _device_ms(gemm_chain, reps=20)
-    results["equiv_gemm36_ms"] = round(ms, 2)
-    print(f"36x plain GEMM same FLOPs: {ms:.2f} ms", flush=True)
-    print(json.dumps(results))
+            emit(phase, _device_ms(gemm_chain, reps=20))
 
 
 if __name__ == "__main__":
