@@ -96,7 +96,23 @@ def save_params(path: str, params: Any) -> str:
 def load_params(path: str, template: Any = None) -> Any:
     with ocp.StandardCheckpointer() as ckptr:
         if template is None:
-            return ckptr.restore(_abs(path))
+            # Template-free restore is deliberate here (eval tools load
+            # checkpoints whose tree they don't know yet); orbax rebuilds
+            # the tree from its own metadata.  Scope-filter the UNSAFE
+            # warning it prints for that case so every CLI run isn't noisy.
+            import logging
+
+            class _Quiet(logging.Filter):
+                def filter(self, record):
+                    return "target tree to be provided" not in record.getMessage()
+
+            flt = _Quiet()
+            logger = logging.getLogger("absl")
+            logger.addFilter(flt)
+            try:
+                return ckptr.restore(_abs(path))
+            finally:
+                logger.removeFilter(flt)
         return ckptr.restore(_abs(path), template)
 
 
