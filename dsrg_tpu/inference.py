@@ -106,6 +106,7 @@ class Predictor:
             self.variables = {"params": params}
         self.num_classes = num_classes
         self.bucket = max(int(bucket), 1)
+        self._pool = None  # lazy shared host-zoom thread pool
         self.mesh = mesh
         self._fwd = jax.jit(
             lambda v, x: self.model.apply(v, x, train=False)
@@ -117,6 +118,15 @@ class Predictor:
             return s
         b = self.bucket
         return ((s + b - 1) // b) * b + 1  # stride-8-friendly 8k+1 shapes
+
+    def _zoom_pool(self):
+        """Shared daemon thread pool for host-side scipy zooms (created
+        once; a per-call pool paid creation/teardown every chunk)."""
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=8)
+        return self._pool
 
     def scores_at_size(self, image_bgr: np.ndarray) -> np.ndarray:
         """Forward one (h, w, 3) mean-subtracted BGR image -> (h', w', M) scores."""
@@ -140,6 +150,9 @@ class Predictor:
         ``scales``: relative zoom factors (test-ms-f.py:121 uses
         [0.75, 1, 1.25]).  Exactly one must be given.
         """
+        if sizes is not None and scales is not None:
+            # match predict_masks_device: these parameters are exclusive
+            raise ValueError("pass exactly one of sizes/scales")
         im = np.asarray(image_rgb, np.float32)
         d1, d2 = float(im.shape[0]), float(im.shape[1])
         bgr = im[:, :, ::-1] - BGR_MEAN
@@ -186,6 +199,8 @@ class Predictor:
         scales: Optional[Sequence[float]] = None,
     ) -> list:
         """Batched multi-scale probabilities for a list of RGB images."""
+        if sizes is not None and scales is not None:
+            raise ValueError("pass exactly one of sizes/scales")
         n = len(images_rgb)
         dims = [(float(im.shape[0]), float(im.shape[1])) for im in images_rgb]
         bgrs = [np.asarray(im, np.float32)[:, :, ::-1] - BGR_MEAN for im in images_rgb]
@@ -195,9 +210,7 @@ class Predictor:
         else:
             zoom_sets = [[(s, s)] * n for s in (scales or (1.0,))]
 
-        from concurrent.futures import ThreadPoolExecutor
-
-        pool = ThreadPoolExecutor(max_workers=8)  # scipy zoom releases the GIL
+        pool = self._zoom_pool()  # scipy zoom releases the GIL
         scores_all = [0.0] * n
         for per_image_zoom in zoom_sets:
             scaled = list(
@@ -215,7 +228,6 @@ class Predictor:
 
             for i, sc in pool.map(up, enumerate(score_list)):
                 scores_all[i] = scores_all[i] + sc
-        pool.shutdown(wait=False)
 
         probs = []
         for sa in scores_all:

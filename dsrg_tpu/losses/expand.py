@@ -10,11 +10,19 @@ values fall out naturally) while keeping the same formula:
   * classes present in the image pull their rank-pooled mean up (loss_1),
     absent classes push their max down (loss_2), and the background's
     rank-pooled mean is pulled up unconditionally (loss_3).
+
+Deliberate deviation: both per-sample class-count divisors are floored
+(the reference's bare divisions, pylayers.py:216-217, NaN whenever an
+image contains no foreground class — loss_1 — or ALL foreground classes
+— loss_2; with the floor those samples contribute 0 to the respective
+term instead).
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
+
+from dsrg_tpu.ops.softmax import MIN_PROB
 
 
 def _rank_pool(x_flat: jnp.ndarray, q: float) -> jnp.ndarray:
@@ -44,13 +52,18 @@ def expand_loss(
     probs_bg_mean = _rank_pool(probs_bg, q_bg)  # (B,)
 
     loss_1 = -jnp.mean(
-        jnp.sum(stat_fg * jnp.log(probs_mean) / jnp.sum(stat_fg, axis=1, keepdims=True), axis=1)
+        jnp.sum(
+            stat_fg
+            * jnp.log(probs_mean)
+            / jnp.maximum(jnp.sum(stat_fg, axis=1, keepdims=True), MIN_PROB),
+            axis=1,
+        )
     )
     loss_2 = -jnp.mean(
         jnp.sum(
             (1.0 - stat_fg)
             * jnp.log(1.0 - probs_max)
-            / jnp.sum(1.0 - stat_fg, axis=1, keepdims=True),
+            / jnp.maximum(jnp.sum(1.0 - stat_fg, axis=1, keepdims=True), MIN_PROB),
             axis=1,
         )
     )

@@ -22,9 +22,17 @@ def seed_loss(probs: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     ``-mean_b( sum(labels * log(probs)) / count_b )`` with ``count_b`` the
     per-sample number of seed entries.  Unused by the shipped prototxts but
     part of the reference's layer surface.
+
+    Deliberate deviation: ``count_b`` is floored at ``MIN_PROB`` like its
+    sibling :func:`balanced_seed_loss` — the reference's bare division
+    (pylayers.py:104-105) returns NaN for a cue-less sample and poisons the
+    whole batch; the floor only changes that degenerate case (a zero
+    numerator then yields a 0 contribution instead of NaN).
     """
     count = jnp.sum(labels, axis=(1, 2, 3), keepdims=True)
-    per = jnp.sum(labels * jnp.log(probs), axis=(1, 2, 3), keepdims=True) / count
+    per = jnp.sum(labels * jnp.log(probs), axis=(1, 2, 3), keepdims=True) / jnp.maximum(
+        count, MIN_PROB
+    )
     return -jnp.mean(per)
 
 

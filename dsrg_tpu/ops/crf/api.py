@@ -32,7 +32,8 @@ from dsrg_tpu.ops.interp import zoom_bilinear
 from dsrg_tpu.ops.softmax import MIN_PROB
 
 # Caffe BGR channel means used throughout the reference (pylayers.py:70).
-BGR_MEAN = (104.0, 117.0, 123.0)
+# Canonical definition lives with the data pipeline — one source of truth.
+from dsrg_tpu.data.voc import BGR_MEAN  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -140,12 +141,17 @@ def CRF(
     unary = jnp.asarray(unary)
     assert image.shape[:2] == unary.shape[:2]
     n = image.shape[0] * image.shape[1]
+    if engine not in ("auto", "exact", "grid", "lattice", "mmgrid"):
+        # a typo silently swapping the bit-accurate engine for an
+        # approximation would shift eval numbers with no signal
+        raise ValueError(f"unknown CRF engine {engine!r}; expected one of "
+                         "auto/exact/grid/lattice/mmgrid/native")
     if engine == "exact" or (engine == "auto" and n <= EXACT_MAX_PIXELS):
         resolved = "exact"
-    elif engine in ("grid", "lattice", "mmgrid"):
-        resolved = engine
-    else:
+    elif engine == "auto":
         resolved = "mmgrid"
+    else:
+        resolved = engine
     if engine == "auto" and (resolved, image.shape[:2]) not in _logged_engines:
         # auto silently switching to an approximate engine can shift eval
         # numbers (~99.95% argmax parity) — make the choice visible once per

@@ -68,7 +68,7 @@ def caffe_interp_shrink(x: jnp.ndarray, shrink_factor: int) -> jnp.ndarray:
     h, w = x.shape[-3], x.shape[-2]
     oh = caffe_interp_out_size(h, shrink_factor)
     ow = caffe_interp_out_size(w, shrink_factor)
-    if (h - 1) % (oh - 1) == 0 and (w - 1) % (ow - 1) == 0 and oh > 1 and ow > 1:
+    if oh > 1 and ow > 1 and (h - 1) % (oh - 1) == 0 and (w - 1) % (ow - 1) == 0:
         sh = (h - 1) // (oh - 1)
         sw = (w - 1) // (ow - 1)
         return x[..., ::sh, ::sw, :]

@@ -35,7 +35,8 @@ from dsrg_tpu.train.train_state import TrainState
 # BGR channel means (train-s.prototxt:14-16); used when loaders ship raw
 # uint8 canvases and normalization runs on device (4x fewer host->device
 # bytes than f32 — the transfer link, not HBM, is the bottleneck).
-BGR_MEAN = (104.0, 117.0, 123.0)
+# Canonical definition lives with the data pipeline — one source of truth.
+from dsrg_tpu.data.voc import BGR_MEAN  # noqa: E402
 
 
 def _device_normalize(images, mean=BGR_MEAN):

@@ -249,3 +249,15 @@ def test_device_pipeline_resnet_backbone():
         for im, mk in zip(images, masks):
             assert mk.shape == im.shape[:2]
             assert mk.max() < 6
+
+
+def test_predict_probs_rejects_sizes_and_scales():
+    """Host and device entry points agree: sizes/scales are exclusive."""
+    import pytest
+
+    predictor = _predictor()
+    im = np.zeros((33, 41, 3), np.uint8)
+    with pytest.raises(ValueError, match="exactly one"):
+        predictor.predict_probs(im, sizes=[41], scales=[0.75])
+    with pytest.raises(ValueError, match="exactly one"):
+        predictor.predict_probs_batch([im], sizes=[41], scales=[0.75])

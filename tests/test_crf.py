@@ -148,3 +148,17 @@ def test_truegrad_refine_matches_numeric_gradient():
 
     g_heur = np.asarray(jax.grad(loss_h)(jnp.asarray(probs)), np.float64)
     assert not np.allclose(g_auto, g_heur, rtol=1e-2, atol=1e-4)
+
+
+def test_crf_rejects_unknown_engine():
+    """A typo'd engine name must raise, not silently resolve to the
+    approximate mmgrid engine (which would shift parity-run numbers)."""
+    import numpy as np
+    import pytest
+
+    from dsrg_tpu.ops.crf.api import CRF
+
+    img = np.zeros((8, 8, 3), np.float32)
+    unary = np.zeros((8, 8, 4), np.float32)
+    with pytest.raises(ValueError, match="unknown CRF engine"):
+        CRF(img, unary, maxiter=1, engine="exactt")

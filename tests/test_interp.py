@@ -29,3 +29,14 @@ def test_caffe_interp_shrink_is_lossless_subsampling_at_integer_stride():
     out = np.asarray(caffe_interp_shrink(labels, 8))
     assert out.shape == (1, 41, 41, 1)
     np.testing.assert_array_equal(out, labels[:, ::8, ::8, :])
+
+
+def test_caffe_interp_shrink_tiny_input_falls_back():
+    """H <= shrink_factor used to hit `% (oh-1)` with oh == 1 and crash
+    with ZeroDivisionError; it must fall back to the bilinear zoom."""
+    import jax.numpy as jnp
+
+    from dsrg_tpu.ops.interp import caffe_interp_shrink
+
+    out = caffe_interp_shrink(jnp.ones((1, 8, 8, 3)), 8)
+    assert out.shape == (1, 1, 1, 3)

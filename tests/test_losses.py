@@ -135,3 +135,26 @@ def test_clamp_straight_through_gradient_semantics():
     # contrast: jnp.maximum gates the first entry
     g2 = jax.grad(lambda v: jnp.sum(jnp.maximum(v, MIN_PROB) * jnp.asarray([1.0, 2.0, 3.0])))(x)
     np.testing.assert_allclose(np.asarray(g2), [0.0, 2.0, 3.0])
+
+
+def test_seed_and_expand_losses_finite_on_degenerate_batches():
+    """The reference's bare divisions NaN on cue-less samples / all-or-no-fg
+    images (pylayers.py:104-105, 216-217); our floored divisors keep the
+    loss finite with a 0 contribution for the degenerate term instead."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dsrg_tpu.losses.expand import expand_loss
+    from dsrg_tpu.losses.seed import seed_loss
+
+    probs = jnp.full((2, 4, 4, 21), 1.0 / 21)
+    # sample 0 has cues, sample 1 has none
+    labels = np.zeros((2, 4, 4, 21), np.float32)
+    labels[0, 1, 1, 3] = 1.0
+    assert np.isfinite(float(seed_loss(probs, jnp.asarray(labels))))
+
+    stat_all = jnp.ones((1, 21))   # every fg class present -> loss_2 term 0/0
+    stat_none = jnp.concatenate([jnp.ones((1, 1)), jnp.zeros((1, 20))], axis=1)
+    for stat in (stat_all, stat_none):
+        v = float(expand_loss(probs[:1], stat))
+        assert np.isfinite(v), v
