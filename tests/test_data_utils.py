@@ -304,3 +304,37 @@ def test_stage2_cache_invalidated_on_pseudo_gt_redump(voc_fixture, tmp_path):
     assert not ds2._cache_flags.any()  # new fingerprint -> cold cache
     _, label = ds2._load_pair(0, crop_seed=1)
     assert set(np.unique(label)) <= {3, 255}
+
+
+def test_synth_palette_is_separable_from_distractors():
+    """Every labeled synthetic class must be separable by local appearance.
+
+    ``texture_overlap`` paints *unlabeled* background patches in muted
+    foreground colors (0.45*color + 0.55*base); a labeled color that lands
+    inside that gamut is unlearnable under weak supervision — the original
+    class-19 color sat 5.4 RGB units from muted class-1 red and collapsed to
+    0.01 IoU in the production-length run.  Enforce the margins the palette
+    was searched for (synth.py PALETTE comment)."""
+    from dsrg_tpu.data.synth import (
+        MIN_FG_MARGIN,
+        MIN_GRAY_MARGIN,
+        MIN_MUTED_MARGIN,
+        signature_margins,
+    )
+
+    muted_d, fg_d, gray_d = signature_margins()
+    assert muted_d.min() >= MIN_MUTED_MARGIN, muted_d
+    assert fg_d.min() >= MIN_FG_MARGIN, fg_d
+    assert gray_d.min() >= MIN_GRAY_MARGIN, gray_d
+
+
+def test_synth_signatures_unique():
+    """(color, shape, texture) triples must be pairwise distinct: two classes
+    sharing a full signature would be mutually unlearnable by construction."""
+    from dsrg_tpu.data.synth import class_signature
+
+    sigs = []
+    for cls in range(1, 21):
+        color, shape, tex = class_signature(cls)
+        sigs.append((tuple(color.tolist()), shape, tex))
+    assert len(set(sigs)) == 20
