@@ -45,6 +45,27 @@ def main(argv=None) -> None:
                    help="batched inference pipeline for both dump stages "
                         "(device = whole multi-scale pass on device; see "
                         "test tools)")
+    p.add_argument("--ship-uint8", action="store_true",
+                   help="forwarded to both trainers: raw uint8 canvases + "
+                        "on-device mean subtraction (4x fewer host->device "
+                        "bytes; for slow host links)")
+    p.add_argument("--cache-decoded", action="store_true",
+                   help="forwarded to both trainers: memmap decode cache "
+                        "(for decode-bound hosts; epoch >= 2 reads at memory "
+                        "speed)")
+    p.add_argument("--auto-resume", action="store_true",
+                   help="make the whole recipe relaunch-safe: both trainers "
+                        "resume from their latest snapshot (completed stages "
+                        "become no-ops) and both dump phases skip existing "
+                        "output pngs")
+    p.add_argument("--val-every", type=int, default=0,
+                   help="forwarded to both trainers: validate on val_id.txt "
+                        "every N iters (single-scale, no CRF)")
+    p.add_argument("--snapshot-every", type=int, default=None,
+                   help="forwarded to both trainers (default: one snapshot "
+                        "at stage end)")
+    p.add_argument("--display", type=int, default=10,
+                   help="forwarded to both trainers: loss display cadence")
     p.add_argument("--parity", action="store_true",
                    help="reference-parity mode: fp32 everywhere (training + "
                         "CRF mean field), exact per-shape forwards, serial "
@@ -60,23 +81,37 @@ def main(argv=None) -> None:
     if args.parity:
         args.dtype = "float32"
 
-    size_overrides = ["--model", args.model_name]
+    size_overrides = ["--model", args.model_name, "--display", str(args.display)]
     if args.batch_size is not None:
         size_overrides += ["--batch-size", str(args.batch_size)]
     if args.crop_size is not None:
         size_overrides += ["--crop-size", str(args.crop_size)]
+    if args.ship_uint8:
+        size_overrides.append("--ship-uint8")
+    if args.cache_decoded:
+        size_overrides.append("--cache-decoded")
+    if args.auto_resume:
+        size_overrides.append("--auto-resume")
 
     w = args.work_dir
     ld = args.list_dir
     jpeg = osp.join(args.pascal_dir, "JPEGImages")
+
+    val_overrides = []
+    if args.val_every:
+        val_overrides = ["--val-every", str(args.val_every),
+                         "--val-ids", osp.join(ld, "val_id.txt"),
+                         "--val-dir", args.pascal_dir,
+                         "--val-gt", osp.join(args.pascal_dir, "SegmentationClass")]
 
     # 1. stage-s training
     s_args = ["--stage", "s", "--image-dir", jpeg,
               "--input-list", osp.join(ld, "input_list.txt"), "--cues", args.cues,
               "--snapshot-dir", osp.join(w, "model-s"),
               "--max-iter", str(args.stage1_iters),
-              "--snapshot-every", str(args.stage1_iters),
-              "--dtype", args.dtype] + size_overrides
+              "--snapshot-every", str(args.snapshot_every or args.stage1_iters),
+              "--metrics-log", osp.join(w, "metrics-s.jsonl"),
+              "--dtype", args.dtype] + size_overrides + val_overrides
     if args.weights:
         s_args += ["--weights", args.weights]
     train_tool.main(s_args)
@@ -85,6 +120,8 @@ def main(argv=None) -> None:
     infer_overrides = ["--engine", args.engine, "--pipeline", args.pipeline]
     if args.parity:
         infer_overrides += ["--batch", "1", "--bucket", "1"]
+    if args.auto_resume:
+        infer_overrides.append("--skip-existing")
 
     # 2. pseudo-GT dump over train_aug
     dsrg_out = osp.join(w, "DSRGOutput")
@@ -105,8 +142,9 @@ def main(argv=None) -> None:
     f_args = ["--stage", "f", "--root", args.pascal_dir, "--pair-list", pair_list,
               "--snapshot-dir", osp.join(w, "model-f"),
               "--max-iter", str(args.stage2_iters),
-              "--snapshot-every", str(args.stage2_iters),
-              "--weights", model_s, "--dtype", args.dtype] + size_overrides
+              "--snapshot-every", str(args.snapshot_every or args.stage2_iters),
+              "--metrics-log", osp.join(w, "metrics-f.jsonl"),
+              "--weights", model_s, "--dtype", args.dtype] + size_overrides + val_overrides
     train_tool.main(f_args)
     model_f = osp.join(w, "model-f", f"step_{args.stage2_iters}_params")
 

@@ -87,3 +87,42 @@ def test_run_recipe_parity_mode(voc_tree, tmp_path):
     ])
     result = open(osp.join(work, "DSRG_result_final.txt")).read()
     assert result.startswith("meanIOU: ")
+
+
+def test_run_recipe_production_flags_and_relaunch(voc_tree, tmp_path):
+    """The production-operation pass-throughs (--ship-uint8 --cache-decoded
+    --auto-resume --val-every) run end-to-end, and RELAUNCHING the identical
+    command after completion is a cheap no-op pass over every phase
+    (trainers restore their final snapshot and skip, dumps --skip-existing):
+    the relaunch-safety contract the full-length production run relies on."""
+    import os
+
+    root, lists, base = voc_tree
+    from dsrg_tpu.tools import run_recipe
+
+    work = str(base / "work_prod")
+    argv = [
+        "--pascal-dir", str(root), "--list-dir", str(lists),
+        "--cues", str(base / "cues.pickle"), "--work-dir", work,
+        "--stage1-iters", "1", "--stage2-iters", "1",
+        "--batch-size", "2", "--crop-size", "41",
+        "--test-sizes", "41", "--test-scales", "1.0",
+        "--no-smooth", "--dtype", "float32",
+        "--ship-uint8", "--cache-decoded", "--auto-resume", "--val-every", "1",
+    ]
+    run_recipe.main(argv)
+    result1 = open(osp.join(work, "DSRG_result_final.txt")).read()
+    assert result1.startswith("meanIOU: ")
+    # validation ran in both stages (metrics JSONL carries val_miou rows)
+    for log in ("metrics-s.jsonl", "metrics-f.jsonl"):
+        assert "val_miou" in open(osp.join(work, log)).read()
+    mtimes = {
+        p: os.path.getmtime(osp.join(work, p))
+        for p in ("model-s/step_1_params", "model-f/step_1_params",
+                  "DSRGOutput/2007_000000.png")
+    }
+    run_recipe.main(argv)  # relaunch: every phase resumes/skips
+    result2 = open(osp.join(work, "DSRG_result_final.txt")).read()
+    assert result2.splitlines()[0] == result1.splitlines()[0]
+    for p, t in mtimes.items():
+        assert os.path.getmtime(osp.join(work, p)) == t, f"{p} was rewritten"
