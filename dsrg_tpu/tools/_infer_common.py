@@ -29,7 +29,9 @@ def build_arg_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--output", dest="output_dir", default="", help="output png dir")
     p.add_argument("--smooth", dest="smooth", action="store_true", help="CRF post-processing")
     p.add_argument("--gpu", dest="gpu_id", default=0, type=int, help="unused (parity flag)")
-    p.add_argument("--num-classes", default=21, type=int)
+    p.add_argument("--num-classes", "--class", dest="num_classes", default=21,
+                   type=int, help="--class kept as the reference's COCO-tool "
+                                  "spelling (test-coco.py:37)")
     p.add_argument("--model-name", choices=["vgg16", "resnet101"], default="vgg16")
     p.add_argument("--batch", default=8, type=int,
                    help="images per batched forward/CRF chunk (1 = reference-style serial)")
