@@ -53,6 +53,12 @@ def build_arg_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--skip-existing", action="store_true",
                    help="skip ids whose output png already exists (resume "
                         "an interrupted dump)")
+    p.add_argument("--rss-limit-gb", type=float, default=-1.0,
+                   help="host-RSS watchdog: past this many GB, exit 75 after "
+                        "the current chunk so a supervisor can relaunch with "
+                        "--skip-existing (bounds the native transfer-buffer "
+                        "leak of remote-TPU tunnel clients).  -1 = auto "
+                        "(80%% of MemTotal), 0 = off")
     p.add_argument("--canvas-bucket", default=32, type=int,
                    help="device pipeline: round the shared chunk canvas up "
                         "to multiples of this (px).  Datasets with widely "
@@ -144,6 +150,24 @@ def run_inference(
               f"{len(image_ids)} to go", flush=True)
     engine, chunk, pipeline, use_device = resolve_pipeline(args, sizes, scales)
 
+    from dsrg_tpu.utils import watchdog
+
+    # only armed when outputs are persisted — without an output dir a
+    # relaunch could not resume, so a restart would loop from scratch
+    rss_limit = (watchdog.resolve_limit(getattr(args, "rss_limit_gb", 0.0))
+                 if args.output_dir else 0.0)
+
+    def _maybe_restart(done: int) -> None:
+        # host-RSS watchdog: output pngs written so far ARE the progress
+        # record, so a relaunch with --skip-existing resumes losslessly.
+        # Finishing beats restarting — never fire once all ids are written.
+        if rss_limit and done < len(image_ids) and watchdog.over_limit(rss_limit):
+            print(f"rss-watchdog: host RSS {watchdog.rss_gb():.1f} GB > "
+                  f"{rss_limit:.1f} GB limit after {done}/{len(image_ids)} "
+                  f"images -> exit {watchdog.RESTART_EXIT_CODE} (relaunch "
+                  "with --skip-existing to continue)", flush=True)
+            raise SystemExit(watchdog.RESTART_EXIT_CODE)
+
     def _load(i):
         return np.asarray(Image.open(osp.join(data_dir, i + ".jpg")).convert("RGB"))
     if use_device:
@@ -162,6 +186,8 @@ def run_inference(
             print(n, img_id, flush=True)
             if args.output_dir:
                 write_png(mask, osp.join(args.output_dir, img_id + ".png"))
+            if (n + 1) % max(chunk, 1) == 0:
+                _maybe_restart(n + 1)
         return
 
     for start in range(0, len(image_ids), chunk):
@@ -180,3 +206,4 @@ def run_inference(
         if args.output_dir:
             for img_id, mask in zip(ids, masks):
                 write_png(mask, osp.join(args.output_dir, img_id + ".png"))
+        _maybe_restart(start + len(ids))

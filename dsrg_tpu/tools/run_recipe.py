@@ -7,16 +7,85 @@
   5. mIoU evaluation against SegmentationClass
 
 (``training/experiment/seed_mc/run.sh:1-11``)
+
+Each compute phase runs as its OWN supervised subprocess by default:
+remote-TPU tunnel clients leak host memory proportionally to bytes
+transferred (see ``utils/watchdog.py``), so one shared process accumulates
+the leak across all five phases and dies mid-recipe.  Per-phase isolation
+resets the leak between phases, the in-phase RSS watchdog bounds it within
+a phase (snapshot + exit 75), and the supervisor relaunches a watchdog/OOM
+exit until the phase completes — lossless under ``--auto-resume``
+(deterministic resume for the trainers, ``--skip-existing`` for the dumps).
+``--in-process`` restores the single-process behavior for debugging.
 """
 
 from __future__ import annotations
 
 import argparse
+import os
 import os.path as osp
+import subprocess
+import sys
 
-from dsrg_tpu.tools import evaluate as evaluate_tool
-from dsrg_tpu.tools import train as train_tool
-from dsrg_tpu.tools._infer_common import build_arg_parser, run_inference
+from dsrg_tpu.utils import watchdog
+
+
+def _count_pngs(out_dir: str) -> int:
+    if not osp.isdir(out_dir):
+        return 0
+    return sum(1 for f in os.listdir(out_dir) if f.endswith(".png"))
+
+
+def _supervise(module: str, phase_args: list, progress_probe, args) -> None:
+    """Run one phase CLI as a subprocess; relaunch watchdog/OOM exits.
+
+    Restartable exits are the watchdog's :data:`watchdog.RESTART_EXIT_CODE`
+    and kill-by-signal (rc < 0 from subprocess, or 137 from a shell wrapper
+    — the kernel OOM killer).  Anything else propagates.  A restartable exit
+    only relaunches when ``--auto-resume`` made relaunching lossless, and
+    only while the phase demonstrably progresses (its snapshot step / output
+    png count advances) — three relaunches with zero progress abort rather
+    than loop forever on e.g. a limit below the process' floor RSS.
+    """
+    cmd = [sys.executable, "-m", module] + [str(a) for a in phase_args]
+    # the child must resolve dsrg_tpu the same way this process did (test
+    # runs add the checkout to sys.path via conftest, which subprocesses
+    # don't inherit) — prepend this package's root to PYTHONPATH
+    env = dict(os.environ)
+    pkg_root = osp.dirname(osp.dirname(osp.dirname(osp.abspath(__file__))))
+    env["PYTHONPATH"] = pkg_root + os.pathsep + env.get("PYTHONPATH", "")
+    last = progress_probe()
+    no_progress = 0
+    relaunches = 0
+    while True:
+        rc = subprocess.call(cmd, env=env)
+        if rc == 0:
+            return
+        restartable = (rc == watchdog.RESTART_EXIT_CODE or rc == 137 or rc < 0)
+        if not restartable:
+            raise SystemExit(rc)
+        if not args.auto_resume:
+            raise SystemExit(
+                f"{module} exited {rc} (memory watchdog / OOM kill); rerun "
+                "the recipe with --auto-resume to enable lossless supervised "
+                "relaunches"
+            )
+        now = progress_probe()
+        no_progress = 0 if now != last else no_progress + 1
+        last = now
+        if no_progress >= 3:
+            raise SystemExit(
+                f"{module} exited {rc} three times without progress "
+                f"(stuck at {now}); check --rss-limit-gb against the "
+                "process' baseline memory footprint"
+            )
+        relaunches += 1
+        if relaunches > args.max_relaunches:
+            raise SystemExit(f"{module}: relaunch budget "
+                             f"({args.max_relaunches}) exhausted")
+        print(f"[recipe] {module} exited {rc} -> relaunching with resume "
+              f"({relaunches}/{args.max_relaunches}, progress {now})",
+              flush=True)
 
 
 def main(argv=None) -> None:
@@ -35,6 +104,9 @@ def main(argv=None) -> None:
                    help="pseudo-GT dump scales (test-ms)")
     p.add_argument("--test-scales", type=float, nargs="+", default=[0.75, 1.0, 1.25],
                    help="final prediction scales (test-ms-f)")
+    p.add_argument("--test-batch", type=int, default=None,
+                   help="forwarded to both dump phases as --batch "
+                        "(images per forward/CRF chunk)")
     p.add_argument("--no-smooth", action="store_true", help="skip CRF post-processing")
     p.add_argument("--model", dest="model_name", choices=["vgg16", "resnet101"],
                    default="vgg16", help="backbone family for both stages")
@@ -56,8 +128,9 @@ def main(argv=None) -> None:
     p.add_argument("--auto-resume", action="store_true",
                    help="make the whole recipe relaunch-safe: both trainers "
                         "resume from their latest snapshot (completed stages "
-                        "become no-ops) and both dump phases skip existing "
-                        "output pngs")
+                        "become no-ops), both dump phases skip existing "
+                        "output pngs, and watchdog/OOM phase exits are "
+                        "relaunched automatically")
     p.add_argument("--val-every", type=int, default=0,
                    help="forwarded to both trainers: validate on val_id.txt "
                         "every N iters (single-scale, no CRF)")
@@ -66,6 +139,17 @@ def main(argv=None) -> None:
                         "at stage end)")
     p.add_argument("--display", type=int, default=10,
                    help="forwarded to both trainers: loss display cadence")
+    p.add_argument("--rss-limit-gb", type=float, default=-1.0,
+                   help="forwarded to every compute phase: host-RSS watchdog "
+                        "limit (see utils/watchdog.py).  -1 = auto (80%% of "
+                        "MemTotal), 0 = off")
+    p.add_argument("--max-relaunches", type=int, default=50,
+                   help="supervisor budget for watchdog/OOM phase relaunches")
+    p.add_argument("--in-process", action="store_true",
+                   help="run all phases in THIS process (pre-round-3 "
+                        "behavior): no subprocess isolation, no supervised "
+                        "relaunch — a watchdog exit ends the whole recipe "
+                        "(relaunch it with --auto-resume to continue)")
     p.add_argument("--parity", action="store_true",
                    help="reference-parity mode: fp32 everywhere (training + "
                         "CRF mean field), exact per-shape forwards, serial "
@@ -81,7 +165,8 @@ def main(argv=None) -> None:
     if args.parity:
         args.dtype = "float32"
 
-    size_overrides = ["--model", args.model_name, "--display", str(args.display)]
+    size_overrides = ["--model", args.model_name, "--display", str(args.display),
+                      "--rss-limit-gb", str(args.rss_limit_gb)]
     if args.batch_size is not None:
         size_overrides += ["--batch-size", str(args.batch_size)]
     if args.crop_size is not None:
@@ -104,6 +189,32 @@ def main(argv=None) -> None:
                          "--val-dir", args.pascal_dir,
                          "--val-gt", osp.join(args.pascal_dir, "SegmentationClass")]
 
+    def train_phase(train_args: list, snapshot_dir: str) -> None:
+        if args.in_process:
+            from dsrg_tpu.tools import train as train_tool
+
+            train_tool.main(train_args)
+            return
+
+        def probe():
+            from dsrg_tpu.train.checkpoint import latest_checkpoint
+
+            return latest_checkpoint(snapshot_dir)
+
+        _supervise("dsrg_tpu.tools.train", train_args, probe, args)
+
+    def dump_phase(module: str, dump_args: list, extent_flag: str,
+                   extents, out_dir: str) -> None:
+        if args.in_process:
+            from dsrg_tpu.tools._infer_common import build_arg_parser, run_inference
+
+            parsed = build_arg_parser("").parse_args(dump_args)
+            kw = {"sizes" if extent_flag == "--sizes" else "scales": extents}
+            run_inference(parsed, **kw)
+            return
+        _supervise(module, dump_args + [extent_flag] + list(extents),
+                   lambda: _count_pngs(out_dir), args)
+
     # 1. stage-s training
     s_args = ["--stage", "s", "--image-dir", jpeg,
               "--input-list", osp.join(ld, "input_list.txt"), "--cues", args.cues,
@@ -114,12 +225,15 @@ def main(argv=None) -> None:
               "--dtype", args.dtype] + size_overrides + val_overrides
     if args.weights:
         s_args += ["--weights", args.weights]
-    train_tool.main(s_args)
+    train_phase(s_args, osp.join(w, "model-s"))
     model_s = osp.join(w, "model-s", f"step_{args.stage1_iters}_params")
 
-    infer_overrides = ["--engine", args.engine, "--pipeline", args.pipeline]
+    infer_overrides = ["--engine", args.engine, "--pipeline", args.pipeline,
+                       "--rss-limit-gb", str(args.rss_limit_gb)]
     if args.parity:
         infer_overrides += ["--batch", "1", "--bucket", "1"]
+    elif args.test_batch is not None:
+        infer_overrides += ["--batch", str(args.test_batch)]
     if args.auto_resume:
         infer_overrides.append("--skip-existing")
 
@@ -130,8 +244,8 @@ def main(argv=None) -> None:
                     "--model-name", args.model_name] + infer_overrides
     if not args.no_smooth:
         test_ms_args.append("--smooth")
-    ms = build_arg_parser("").parse_args(test_ms_args)
-    run_inference(ms, sizes=args.test_sizes)
+    dump_phase("dsrg_tpu.tools.test_ms", test_ms_args, "--sizes",
+               args.test_sizes, dsrg_out)
 
     # 3. stage-f retraining (pair list written against the pseudo GT)
     pair_list = osp.join(w, "train_pairs.txt")
@@ -145,7 +259,7 @@ def main(argv=None) -> None:
               "--snapshot-every", str(args.snapshot_every or args.stage2_iters),
               "--metrics-log", osp.join(w, "metrics-f.jsonl"),
               "--weights", model_s, "--dtype", args.dtype] + size_overrides + val_overrides
-    train_tool.main(f_args)
+    train_phase(f_args, osp.join(w, "model-f"))
     model_f = osp.join(w, "model-f", f"step_{args.stage2_iters}_params")
 
     # 4. final val predictions
@@ -155,10 +269,12 @@ def main(argv=None) -> None:
                "--model-name", args.model_name] + infer_overrides
     if not args.no_smooth:
         mf_args.append("--smooth")
-    mf = build_arg_parser("").parse_args(mf_args)
-    run_inference(mf, scales=args.test_scales)
+    dump_phase("dsrg_tpu.tools.test_ms_f", mf_args, "--scales",
+               args.test_scales, final_out)
 
-    # 5. evaluate
+    # 5. evaluate (host-only numpy: no transfer leak, stays in-process)
+    from dsrg_tpu.tools import evaluate as evaluate_tool
+
     evaluate_tool.main(
         ["--pred", final_out, "--gt", osp.join(args.pascal_dir, "SegmentationClass"),
          "--test_ids", osp.join(ld, "val_id.txt"),

@@ -5,8 +5,11 @@ from dsrg_tpu.tools._infer_common import build_arg_parser, run_inference
 
 
 def main(argv=None) -> None:
-    args = build_arg_parser(__doc__).parse_args(argv)
-    run_inference(args, sizes=[241, 321, 401])
+    p = build_arg_parser(__doc__)
+    p.add_argument("--sizes", type=int, nargs="+", default=[241, 321, 401],
+                   help="absolute forward sizes to fuse (reference default)")
+    args = p.parse_args(argv)
+    run_inference(args, sizes=args.sizes)
 
 
 if __name__ == "__main__":

@@ -75,6 +75,13 @@ def parse_args(argv=None):
                         "stage s)")
     p.add_argument("--auto-resume", action="store_true",
                    help="resume from the latest snapshot in --snapshot-dir if present")
+    p.add_argument("--rss-limit-gb", type=float, default=-1.0,
+                   help="host-RSS watchdog: past this many GB, snapshot and "
+                        "exit 75 so a supervisor can relaunch with "
+                        "--auto-resume (deterministic data order makes the "
+                        "restart lossless).  Bounds the native transfer-"
+                        "buffer leak of remote-TPU tunnel clients.  "
+                        "-1 = auto (80%% of MemTotal), 0 = off")
     p.add_argument("--sync-snapshots", action="store_true",
                    help="write snapshots synchronously (default: async orbax "
                         "writes that do not stall the train loop)")
@@ -277,8 +284,10 @@ def main(argv=None) -> None:
         miou, _, _ = conf.jaccard()
         return miou
 
+    from dsrg_tpu.utils import watchdog
     from dsrg_tpu.utils.profiling import MetricLogger, StepTimer, trace
 
+    rss_limit = watchdog.resolve_limit(args.rss_limit_gb)
     logger = MetricLogger(args.metrics_log, average_window=args.display)
     timer = StepTimer(cfg.batch_size)
     start_iter = int(state.step)
@@ -313,7 +322,8 @@ def main(argv=None) -> None:
             miou = run_validation(state.params)
             logger.log(it + 1, {"val_miou": miou})
             print(f"iter {it + 1}: val mIoU = {miou:.4f}", flush=True)
-        if (it + 1) % cfg.snapshot_every == 0 or (it + 1) == cfg.max_iter:
+        snapped = (it + 1) % cfg.snapshot_every == 0 or (it + 1) == cfg.max_iter
+        if snapped:
             to_save = (
                 {"params": state.params, **extra_vars} if extra_vars else state.params
             )
@@ -324,6 +334,22 @@ def main(argv=None) -> None:
                 path = ckpt.save_checkpoint(args.snapshot_dir, state, it + 1)
                 ckpt.save_params(path + "_params", to_save)
             print("snapshot ->", path, flush=True)
+        # host-RSS watchdog (utils/watchdog.py): past the limit, persist a
+        # full snapshot and hand control back to the supervisor — completing
+        # the run beats restarting, so never fire on the final iteration
+        if (rss_limit and (it + 1) % args.display == 0
+                and (it + 1) != cfg.max_iter and watchdog.over_limit(rss_limit)):
+            if not snapped:
+                path = ckpt.save_checkpoint(args.snapshot_dir, state, it + 1)
+            if writer is not None:
+                writer.close()  # drain any in-flight async snapshot
+            loader.close()
+            logger.close()
+            print(f"rss-watchdog: host RSS {watchdog.rss_gb():.1f} GB > "
+                  f"{rss_limit:.1f} GB limit at iter {it + 1}; snapshot "
+                  f"saved -> exit {watchdog.RESTART_EXIT_CODE} (relaunch "
+                  "with --auto-resume to continue losslessly)", flush=True)
+            raise SystemExit(watchdog.RESTART_EXIT_CODE)
     _flush_metrics(pending, logger)  # flush any tail metrics
     if writer is not None:
         writer.close()  # drain the in-flight snapshot before exit

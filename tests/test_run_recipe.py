@@ -57,7 +57,7 @@ def test_run_recipe_end_to_end(voc_tree, tmp_path):
         "--stage1-iters", "1", "--stage2-iters", "1",
         "--batch-size", "2", "--crop-size", "41",
         "--test-sizes", "41", "--test-scales", "1.0",
-        "--no-smooth", "--dtype", "float32",
+        "--no-smooth", "--dtype", "float32", "--in-process",
     ])
     result = open(osp.join(work, "DSRG_result_final.txt")).read()
     assert result.startswith("meanIOU: ")
@@ -83,7 +83,7 @@ def test_run_recipe_parity_mode(voc_tree, tmp_path):
         "--stage1-iters", "1", "--stage2-iters", "1",
         "--batch-size", "2", "--crop-size", "41",
         "--test-sizes", "41", "--test-scales", "1.0",
-        "--parity",
+        "--parity", "--in-process",
     ])
     result = open(osp.join(work, "DSRG_result_final.txt")).read()
     assert result.startswith("meanIOU: ")
