@@ -199,6 +199,11 @@ def main(argv=None) -> float:
                         "streaming-mIoU eval, optional --two-stage retrain")
     p.add_argument("--iters2", type=int, default=None,
                    help="stage-2 iterations (default: --iters)")
+    p.add_argument("--in-process", action="store_true",
+                   help="forwarded to run_recipe under --two-stage: run the "
+                        "recipe phases in this process instead of supervised "
+                        "subprocesses (for cheap smokes; production runs "
+                        "want the default's RSS-watchdog isolation)")
     args = p.parse_args(argv)
 
     root = osp.join(args.work_dir, "data")
@@ -225,7 +230,8 @@ def main(argv=None) -> float:
             "--test-sizes", str(args.size),
             "--test-scales", "1.0",
             "--model", args.model_name,
-        ] + ([] if args.smooth else ["--no-smooth"]))
+        ] + ([] if args.smooth else ["--no-smooth"])
+          + (["--in-process"] if args.in_process else []))
         miou = float(
             open(osp.join(w, "DSRG_result_final.txt")).read().splitlines()[0].split()[1]
         )

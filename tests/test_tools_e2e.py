@@ -163,7 +163,7 @@ def test_synth_check_two_stage_smoke(tmp_path):
         "--work-dir", str(tmp_path / "synth2"),
         "--iters", "2", "--n-train", "6", "--n-val", "3",
         "--size", "41", "--batch-size", "2", "--batch", "2",
-        "--two-stage",
+        "--two-stage", "--in-process",
     ])
     assert np.isfinite(miou3) and 0.0 <= miou3 <= 1.0
 
