@@ -33,6 +33,15 @@ def parse_args(argv=None):
     p.add_argument("--model", default=None, help="params checkpoint (with --grow)")
     p.add_argument("--th1", default=0.99, type=float)
     p.add_argument("--th2", default=0.85, type=float)
+    p.add_argument("--skip-existing", action="store_true",
+                   help="skip ids whose _cue.png already exists (resume an "
+                        "interrupted dump)")
+    p.add_argument("--rss-limit-gb", type=float, default=-1.0,
+                   help="host-RSS watchdog: past this many GB, exit 75 so a "
+                        "supervisor can relaunch with --skip-existing (the "
+                        "--grow path ships per-image tensors through leaky "
+                        "remote-TPU tunnel clients).  -1 = auto (80%% of "
+                        "MemTotal), 0 = off")
     return p.parse_args(argv)
 
 
@@ -50,6 +59,20 @@ def main(argv=None) -> None:
     rows = [ln.strip().split() for ln in open(args.image_list) if ln.strip()]
     if not osp.isdir(args.output_dir):
         os.makedirs(args.output_dir)
+    if args.skip_existing:
+        before = len(rows)
+        rows = [
+            (fname, image_id) for fname, image_id in rows
+            if not osp.exists(osp.join(
+                args.output_dir,
+                osp.splitext(osp.basename(fname))[0] + "_cue.png"))
+        ]
+        print(f"skip-existing: {before - len(rows)} done, {len(rows)} to go",
+              flush=True)
+
+    from dsrg_tpu.utils import watchdog
+
+    rss_limit = watchdog.resolve_limit(args.rss_limit_gb)
 
     predictor = None
     refine_grow = None
@@ -77,6 +100,14 @@ def main(argv=None) -> None:
     for index, (fname, image_id) in enumerate(rows):
         if index % 100 == 0:
             print("%d processed" % index, flush=True)
+            # written pngs are the progress record; finishing beats restarting
+            if rss_limit and index and watchdog.over_limit(rss_limit):
+                print(f"rss-watchdog: host RSS {watchdog.rss_gb():.1f} GB > "
+                      f"{rss_limit:.1f} GB limit after {index}/{len(rows)} "
+                      f"images -> exit {watchdog.RESTART_EXIT_CODE} "
+                      "(relaunch with --skip-existing to continue)",
+                      flush=True)
+                raise SystemExit(watchdog.RESTART_EXIT_CODE)
         img_id = osp.splitext(osp.basename(fname))[0]
         labels, cues = cue_db.get(int(image_id))
         if args.grow:

@@ -42,6 +42,18 @@ def test_dump_cues_and_ap(tmp_path):
         assert m.shape == (41, 41)
         assert set(np.unique(m)).issubset(set(range(6)) | {255})
 
+    # --skip-existing resumes: a relaunch over a complete dump is a no-op
+    # (nothing rewritten), the contract the RSS-watchdog supervision uses
+    mtimes = {i: osp.getmtime(osp.join(out, f"2007_{i:06d}_cue.png"))
+              for i in range(3)}
+    dump_cues.main([
+        "--images", str(root / "input_list.txt"), "--dir", str(root),
+        "--cues", str(root / "cues.pickle"), "--output", out, "--num-classes", "6",
+        "--skip-existing",
+    ])
+    for i, t in mtimes.items():
+        assert osp.getmtime(osp.join(out, f"2007_{i:06d}_cue.png")) == t
+
     save_path = str(root / "ap.txt")
     ap_tool.main([
         "--pred", out, "--gt", str(root / "gt"), "--test_ids", str(root / "ids.txt"),
@@ -95,3 +107,57 @@ def test_dump_cues_grow_path(tmp_path):
         m = np.asarray(Image.open(osp.join(out, f"2007_{i:06d}_cue.png")))
         assert m.shape == (41, 41)
         assert set(np.unique(m)).issubset(set(range(6)) | {255})
+
+
+def test_generate_train_gt_and_resume(tmp_path):
+    """generate_train_gt mirrors the reference tool (forward at 321,
+    argmax restricted to the image-level label set + bg) and resumes via
+    --skip-existing without rewriting finished masks (the RSS-watchdog
+    supervision contract)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dsrg_tpu.models import DeepLabLargeFOV
+    from dsrg_tpu.tools import generate_train_gt
+    from dsrg_tpu.train.checkpoint import save_params
+
+    root = tmp_path
+    (root / "JPEGImages").mkdir()
+    rng = np.random.default_rng(2)
+    entries, rows = {}, []
+    for i in range(2):
+        img_id = f"2007_{i:06d}"
+        Image.fromarray(rng.integers(0, 255, (60, 70, 3)).astype(np.uint8)).save(
+            root / "JPEGImages" / f"{img_id}.jpg"
+        )
+        entries[i] = (
+            np.array([2, 4]),
+            (np.array([0, 2]), np.array([3, 20]), np.array([4, 21])),
+        )
+        rows.append(f"{img_id}.jpg {i}")
+    save_cue_db(str(root / "cues.pickle"), entries)
+    (root / "input_list.txt").write_text("\n".join(rows) + "\n")
+
+    model = DeepLabLargeFOV(num_classes=6)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 321, 321, 3)),
+        train=False,
+    )["params"]
+    save_params(str(root / "params"), params)
+
+    out = str(root / "pseudo_gt")
+    argv = ["--images", str(root / "input_list.txt"), "--dir", str(root),
+            "--model", str(root / "params"), "--cues", str(root / "cues.pickle"),
+            "--output", out, "--num-classes", "6"]
+    generate_train_gt.main(argv)
+    for i in range(2):
+        m = np.asarray(Image.open(osp.join(out, f"2007_{i:06d}.png")))
+        assert m.shape == (60, 70)
+        # restricted argmax: only bg + this image's labels can appear
+        assert set(np.unique(m)).issubset({0, 2, 4})
+
+    mtimes = {i: osp.getmtime(osp.join(out, f"2007_{i:06d}.png"))
+              for i in range(2)}
+    generate_train_gt.main(argv + ["--skip-existing"])
+    for i, t in mtimes.items():
+        assert osp.getmtime(osp.join(out, f"2007_{i:06d}.png")) == t
