@@ -59,6 +59,13 @@ def build_arg_parser(description: str) -> argparse.ArgumentParser:
                         "--skip-existing (bounds the native transfer-buffer "
                         "leak of remote-TPU tunnel clients).  -1 = auto "
                         "(80%% of MemTotal), 0 = off")
+    p.add_argument("--stall-limit-min", type=float, default=60.0,
+                   help="stall watchdog: exit 75 when no chunk completes "
+                        "for this many minutes (wedged device/tunnel; "
+                        "relaunch with --skip-existing resumes).  Must "
+                        "exceed the longest legitimate gap — each new "
+                        "canvas shape is a minutes-long remote compile.  "
+                        "0 = off")
     p.add_argument("--canvas-bucket", default=32, type=int,
                    help="device pipeline: round the shared chunk canvas up "
                         "to multiples of this (px).  Datasets with widely "
@@ -156,6 +163,11 @@ def run_inference(
     # relaunch could not resume, so a restart would loop from scratch
     rss_limit = (watchdog.resolve_limit(getattr(args, "rss_limit_gb", 0.0))
                  if args.output_dir else 0.0)
+    stall = watchdog.StallWatchdog(
+        (getattr(args, "stall_limit_min", 0.0) or 0.0) * 60.0
+        if args.output_dir else 0.0,
+        describe="inference-chunk",
+    )
 
     def _maybe_restart(done: int) -> None:
         # host-RSS watchdog: output pngs written so far ARE the progress
@@ -186,8 +198,10 @@ def run_inference(
             print(n, img_id, flush=True)
             if args.output_dir:
                 write_png(mask, osp.join(args.output_dir, img_id + ".png"))
+            stall.tick()
             if (n + 1) % max(chunk, 1) == 0:
                 _maybe_restart(n + 1)
+        stall.close()
         return
 
     for start in range(0, len(image_ids), chunk):
@@ -206,4 +220,6 @@ def run_inference(
         if args.output_dir:
             for img_id, mask in zip(ids, masks):
                 write_png(mask, osp.join(args.output_dir, img_id + ".png"))
+        stall.tick()
         _maybe_restart(start + len(ids))
+    stall.close()

@@ -42,6 +42,10 @@ def parse_args(argv=None):
                         "--grow path ships per-image tensors through leaky "
                         "remote-TPU tunnel clients).  -1 = auto (80%% of "
                         "MemTotal), 0 = off")
+    p.add_argument("--stall-limit-min", type=float, default=60.0,
+                   help="stall watchdog: exit 75 when no image completes "
+                        "for this many minutes (wedged device/tunnel).  "
+                        "0 = off")
     return p.parse_args(argv)
 
 
@@ -73,6 +77,8 @@ def main(argv=None) -> None:
     from dsrg_tpu.utils import watchdog
 
     rss_limit = watchdog.resolve_limit(args.rss_limit_gb)
+    stall = watchdog.StallWatchdog((args.stall_limit_min or 0.0) * 60.0,
+                                   describe="image")
 
     predictor = None
     refine_grow = None
@@ -121,6 +127,8 @@ def main(argv=None) -> None:
                             img[None].astype(np.float32))
             )[0]
         write_png(cues_to_mask(cues), osp.join(args.output_dir, img_id + "_cue.png"))
+        stall.tick()
+    stall.close()
 
 
 if __name__ == "__main__":

@@ -46,8 +46,13 @@ def main(argv=None) -> None:
     # armed only when outputs persist (see _infer_common.run_inference)
     rss_limit = (watchdog.resolve_limit(args.rss_limit_gb)
                  if args.output_dir else 0.0)
+    stall = watchdog.StallWatchdog(
+        (args.stall_limit_min or 0.0) * 60.0 if args.output_dir else 0.0,
+        describe="image",
+    )
     for index, (fname, image_id) in enumerate(rows):
         print(index, fname, flush=True)
+        stall.tick()
         if (rss_limit and index and index % 50 == 0
                 and watchdog.over_limit(rss_limit)):
             print(f"rss-watchdog: host RSS {watchdog.rss_gb():.1f} GB > "
@@ -64,6 +69,7 @@ def main(argv=None) -> None:
         )
         if args.output_dir:
             write_png(mask, osp.join(args.output_dir, img_id + ".png"))
+    stall.close()
 
 
 if __name__ == "__main__":

@@ -108,8 +108,10 @@ def run_coco(args, sizes=None, scales=None) -> float:
 def main(argv=None) -> None:
     p = build_arg_parser(__doc__)
     p.set_defaults(num_classes=81)
+    p.add_argument("--sizes", type=int, nargs="+", default=[481],
+                   help="absolute forward sizes (reference default 481)")
     args = p.parse_args(argv)
-    run_coco(args, sizes=[481])
+    run_coco(args, sizes=args.sizes)
 
 
 if __name__ == "__main__":

@@ -82,6 +82,12 @@ def parse_args(argv=None):
                         "restart lossless).  Bounds the native transfer-"
                         "buffer leak of remote-TPU tunnel clients.  "
                         "-1 = auto (80%% of MemTotal), 0 = off")
+    p.add_argument("--stall-limit-min", type=float, default=60.0,
+                   help="stall watchdog: exit 75 when no training step "
+                        "completes for this many minutes (wedged "
+                        "device/tunnel; resume replays from the last "
+                        "snapshot).  Must exceed the longest legitimate "
+                        "gap — first remote compiles take minutes.  0 = off")
     p.add_argument("--sync-snapshots", action="store_true",
                    help="write snapshots synchronously (default: async orbax "
                         "writes that do not stall the train loop)")
@@ -288,6 +294,8 @@ def main(argv=None) -> None:
     from dsrg_tpu.utils.profiling import MetricLogger, StepTimer, trace
 
     rss_limit = watchdog.resolve_limit(args.rss_limit_gb)
+    stall = watchdog.StallWatchdog(args.stall_limit_min * 60.0,
+                                   describe="training-step")
     logger = MetricLogger(args.metrics_log, average_window=args.display)
     timer = StepTimer(cfg.batch_size)
     start_iter = int(state.step)
@@ -309,6 +317,7 @@ def main(argv=None) -> None:
         if (it + 1) % args.display == 0:
             averaged = _flush_metrics(pending, logger)
         timer.tick()
+        stall.tick()  # dispatch went through; a wedge blocks in the flush
         if args.profile_dir and it == start_iter + 14 and profiler_ctx is not None:
             profiler_ctx.__exit__(None, None, None)
             profiler_ctx = None
@@ -322,6 +331,7 @@ def main(argv=None) -> None:
             miou = run_validation(state.params)
             logger.log(it + 1, {"val_miou": miou})
             print(f"iter {it + 1}: val mIoU = {miou:.4f}", flush=True)
+            stall.tick()  # a long-but-finite validation is progress too
         snapped = (it + 1) % cfg.snapshot_every == 0 or (it + 1) == cfg.max_iter
         if snapped:
             to_save = (
@@ -339,6 +349,7 @@ def main(argv=None) -> None:
         # the run beats restarting, so never fire on the final iteration
         if (rss_limit and (it + 1) % args.display == 0
                 and (it + 1) != cfg.max_iter and watchdog.over_limit(rss_limit)):
+            stall.close()  # the sync snapshot below may legitimately be slow
             if not snapped:
                 path = ckpt.save_checkpoint(args.snapshot_dir, state, it + 1)
             if writer is not None:
@@ -350,6 +361,7 @@ def main(argv=None) -> None:
                   f"saved -> exit {watchdog.RESTART_EXIT_CODE} (relaunch "
                   "with --auto-resume to continue losslessly)", flush=True)
             raise SystemExit(watchdog.RESTART_EXIT_CODE)
+    stall.close()
     _flush_metrics(pending, logger)  # flush any tail metrics
     if writer is not None:
         writer.close()  # drain the in-flight snapshot before exit

@@ -64,3 +64,61 @@ def resolve_limit(flag_gb: float) -> float:
 def over_limit(limit_gb: float) -> bool:
     """True when the limit is active and current RSS exceeds it."""
     return bool(limit_gb) and rss_gb() > limit_gb
+
+
+class StallWatchdog:
+    """Force-exit when no progress tick arrives within ``limit_s`` seconds.
+
+    Remote-TPU tunnels can wedge mid-dispatch (observed: a ~10-minute
+    mid-training stall around a recompile; a permanent wedge blocks the
+    main thread inside the step dispatch forever, where the RSS watchdog
+    can never run and the supervising ``run_recipe`` sees a subprocess
+    that simply never exits).  This daemon thread watches wall time since
+    the last :meth:`tick` and, past the limit, exits the whole process
+    with :data:`RESTART_EXIT_CODE` via ``os._exit`` — a snapshot cannot be
+    taken from a thread while the device is wedged, so the restart replays
+    from the last snapshot (bounded by the snapshot cadence), and the
+    supervisor's no-progress guard converts a permanently wedged phase
+    into a clean abort after three fruitless relaunches.
+
+    ``limit_s`` must comfortably exceed the longest legitimate gap between
+    ticks — first remote compiles take minutes, so the CLIs default to a
+    60-minute limit.  ``limit_s=0`` disables (no thread is started).
+    """
+
+    def __init__(self, limit_s: float, describe: str = "step", on_stall=None):
+        import threading
+        import time
+
+        self._limit = float(limit_s)
+        self._time = time.monotonic
+        self._last = self._time()
+        self._describe = describe
+        self._on_stall = on_stall or self._exit
+        self._stop = threading.Event()
+        if self._limit > 0:
+            self._thread = threading.Thread(
+                target=self._watch, daemon=True, name="stall-watchdog"
+            )
+            self._thread.start()
+
+    def tick(self) -> None:
+        self._last = self._time()
+
+    def close(self) -> None:
+        self._stop.set()
+
+    def _watch(self) -> None:
+        poll = min(30.0, self._limit / 4)
+        while not self._stop.wait(poll):
+            idle = self._time() - self._last
+            if idle > self._limit:
+                self._on_stall(idle)
+                return
+
+    def _exit(self, idle: float) -> None:
+        print(f"stall-watchdog: no {self._describe} progress for "
+              f"{idle / 60:.1f} min -> exit {RESTART_EXIT_CODE} (wedged "
+              "device/tunnel; a supervisor relaunch resumes from the last "
+              "snapshot)", flush=True)
+        os._exit(RESTART_EXIT_CODE)

@@ -31,6 +31,32 @@ def test_rss_and_limit_resolution():
     assert not watchdog.over_limit(10_000.0)
 
 
+def test_stall_watchdog_fires_only_without_ticks():
+    """The stall watchdog stays quiet while ticks arrive, fires once the
+    tick stream stops for longer than the limit, and never fires after
+    close() — the wedged-tunnel escape hatch for supervised phases."""
+    import threading
+    import time
+
+    fired = threading.Event()
+
+    # disabled: no thread, nothing ever fires
+    off = watchdog.StallWatchdog(0.0, on_stall=lambda idle: fired.set())
+    assert not hasattr(off, "_thread")
+
+    wd = watchdog.StallWatchdog(0.3, on_stall=lambda idle: fired.set())
+    for _ in range(5):                 # ticks keep it quiet past the limit
+        time.sleep(0.12)
+        wd.tick()
+    assert not fired.is_set()
+    assert fired.wait(timeout=3.0)     # stop ticking -> fires within ~limit
+
+    fired2 = threading.Event()
+    wd2 = watchdog.StallWatchdog(0.2, on_stall=lambda idle: fired2.set())
+    wd2.close()                        # closed before the limit elapses
+    assert not fired2.wait(timeout=0.6)
+
+
 @pytest.fixture
 def voc_tree(tmp_path):
     root = tmp_path / "voc"
