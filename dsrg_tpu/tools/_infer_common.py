@@ -147,17 +147,13 @@ def run_inference(
     data_dir = osp.join(args.data_dir, "JPEGImages")
     if args.output_dir and not osp.isdir(args.output_dir):
         os.makedirs(args.output_dir)
-    if getattr(args, "skip_existing", False) and args.output_dir:
-        before = len(image_ids)
-        image_ids = [
-            i for i in image_ids
-            if not osp.exists(osp.join(args.output_dir, i + ".png"))
-        ]
-        print(f"skip-existing: {before - len(image_ids)} done, "
-              f"{len(image_ids)} to go", flush=True)
-    engine, chunk, pipeline, use_device = resolve_pipeline(args, sizes, scales)
-
     from dsrg_tpu.utils import watchdog
+
+    if getattr(args, "skip_existing", False) and args.output_dir:
+        _, image_ids = watchdog.split_existing(
+            image_ids, lambda i: osp.join(args.output_dir, i + ".png")
+        )
+    engine, chunk, pipeline, use_device = resolve_pipeline(args, sizes, scales)
 
     # only armed when outputs are persisted — without an output dir a
     # relaunch could not resume, so a restart would loop from scratch
@@ -170,15 +166,7 @@ def run_inference(
     )
 
     def _maybe_restart(done: int) -> None:
-        # host-RSS watchdog: output pngs written so far ARE the progress
-        # record, so a relaunch with --skip-existing resumes losslessly.
-        # Finishing beats restarting — never fire once all ids are written.
-        if rss_limit and done < len(image_ids) and watchdog.over_limit(rss_limit):
-            print(f"rss-watchdog: host RSS {watchdog.rss_gb():.1f} GB > "
-                  f"{rss_limit:.1f} GB limit after {done}/{len(image_ids)} "
-                  f"images -> exit {watchdog.RESTART_EXIT_CODE} (relaunch "
-                  "with --skip-existing to continue)", flush=True)
-            raise SystemExit(watchdog.RESTART_EXIT_CODE)
+        watchdog.maybe_restart(rss_limit, done, len(image_ids))
 
     def _load(i):
         return np.asarray(Image.open(osp.join(data_dir, i + ".jpg")).convert("RGB"))

@@ -63,19 +63,14 @@ def main(argv=None) -> None:
     rows = [ln.strip().split() for ln in open(args.image_list) if ln.strip()]
     if not osp.isdir(args.output_dir):
         os.makedirs(args.output_dir)
-    if args.skip_existing:
-        before = len(rows)
-        rows = [
-            (fname, image_id) for fname, image_id in rows
-            if not osp.exists(osp.join(
-                args.output_dir,
-                osp.splitext(osp.basename(fname))[0] + "_cue.png"))
-        ]
-        print(f"skip-existing: {before - len(rows)} done, {len(rows)} to go",
-              flush=True)
-
     from dsrg_tpu.utils import watchdog
 
+    if args.skip_existing:
+        _, rows = watchdog.split_existing(
+            rows,
+            lambda r: osp.join(args.output_dir,
+                               osp.splitext(osp.basename(r[0]))[0] + "_cue.png"),
+        )
     rss_limit = watchdog.resolve_limit(args.rss_limit_gb)
     stall = watchdog.StallWatchdog((args.stall_limit_min or 0.0) * 60.0,
                                    describe="image")
@@ -106,14 +101,7 @@ def main(argv=None) -> None:
     for index, (fname, image_id) in enumerate(rows):
         if index % 100 == 0:
             print("%d processed" % index, flush=True)
-            # written pngs are the progress record; finishing beats restarting
-            if rss_limit and index and watchdog.over_limit(rss_limit):
-                print(f"rss-watchdog: host RSS {watchdog.rss_gb():.1f} GB > "
-                      f"{rss_limit:.1f} GB limit after {index}/{len(rows)} "
-                      f"images -> exit {watchdog.RESTART_EXIT_CODE} "
-                      "(relaunch with --skip-existing to continue)",
-                      flush=True)
-                raise SystemExit(watchdog.RESTART_EXIT_CODE)
+            watchdog.maybe_restart(rss_limit, index, len(rows))
         img_id = osp.splitext(osp.basename(fname))[0]
         labels, cues = cue_db.get(int(image_id))
         if args.grow:

@@ -30,19 +30,14 @@ def main(argv=None) -> None:
 
     rows = [ln.strip().split() for ln in open(args.image_list) if ln.strip()]
     data_dir = osp.join(args.data_dir, "JPEGImages")
-    if args.skip_existing and args.output_dir:
-        before = len(rows)
-        rows = [
-            (fname, image_id) for fname, image_id in rows
-            if not osp.exists(osp.join(
-                args.output_dir,
-                osp.splitext(osp.basename(fname))[0] + ".png"))
-        ]
-        print(f"skip-existing: {before - len(rows)} done, {len(rows)} to go",
-              flush=True)
-
     from dsrg_tpu.utils import watchdog
 
+    if args.skip_existing and args.output_dir:
+        _, rows = watchdog.split_existing(
+            rows,
+            lambda r: osp.join(args.output_dir,
+                               osp.splitext(osp.basename(r[0]))[0] + ".png"),
+        )
     # armed only when outputs persist (see _infer_common.run_inference)
     rss_limit = (watchdog.resolve_limit(args.rss_limit_gb)
                  if args.output_dir else 0.0)
@@ -53,13 +48,8 @@ def main(argv=None) -> None:
     for index, (fname, image_id) in enumerate(rows):
         print(index, fname, flush=True)
         stall.tick()
-        if (rss_limit and index and index % 50 == 0
-                and watchdog.over_limit(rss_limit)):
-            print(f"rss-watchdog: host RSS {watchdog.rss_gb():.1f} GB > "
-                  f"{rss_limit:.1f} GB limit after {index}/{len(rows)} "
-                  f"images -> exit {watchdog.RESTART_EXIT_CODE} (relaunch "
-                  "with --skip-existing to continue)", flush=True)
-            raise SystemExit(watchdog.RESTART_EXIT_CODE)
+        if index % 50 == 0:
+            watchdog.maybe_restart(rss_limit, index, len(rows))
         img_id = osp.splitext(osp.basename(fname))[0]
         image = np.asarray(Image.open(osp.join(data_dir, img_id + ".jpg")).convert("RGB"))
         fg = np.asarray(cue_db.data["%i_labels" % int(image_id)]).ravel()

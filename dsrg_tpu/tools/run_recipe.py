@@ -143,6 +143,12 @@ def main(argv=None) -> None:
                    help="forwarded to every compute phase: host-RSS watchdog "
                         "limit (see utils/watchdog.py).  -1 = auto (80%% of "
                         "MemTotal), 0 = off")
+    p.add_argument("--stall-limit-min", type=float, default=60.0,
+                   help="forwarded to every compute phase: stall-watchdog "
+                        "limit (exit 75 when no step/chunk completes for "
+                        "this long; raise it if legitimate gaps — e.g. "
+                        "first remote compiles of new canvas shapes — "
+                        "exceed an hour).  0 = off")
     p.add_argument("--max-relaunches", type=int, default=50,
                    help="supervisor budget for watchdog/OOM phase relaunches")
     p.add_argument("--in-process", action="store_true",
@@ -166,7 +172,8 @@ def main(argv=None) -> None:
         args.dtype = "float32"
 
     size_overrides = ["--model", args.model_name, "--display", str(args.display),
-                      "--rss-limit-gb", str(args.rss_limit_gb)]
+                      "--rss-limit-gb", str(args.rss_limit_gb),
+                      "--stall-limit-min", str(args.stall_limit_min)]
     if args.batch_size is not None:
         size_overrides += ["--batch-size", str(args.batch_size)]
     if args.crop_size is not None:
@@ -229,7 +236,8 @@ def main(argv=None) -> None:
     model_s = osp.join(w, "model-s", f"step_{args.stage1_iters}_params")
 
     infer_overrides = ["--engine", args.engine, "--pipeline", args.pipeline,
-                       "--rss-limit-gb", str(args.rss_limit_gb)]
+                       "--rss-limit-gb", str(args.rss_limit_gb),
+                       "--stall-limit-min", str(args.stall_limit_min)]
     if args.parity:
         infer_overrides += ["--batch", "1", "--bucket", "1"]
     elif args.test_batch is not None:

@@ -29,16 +29,44 @@ def run_coco(args, sizes=None, scales=None) -> float:
         os.makedirs(args.output_dir)
     has_gt = rows and len(rows[0]) > 1
 
+    from dsrg_tpu.utils import watchdog
+
+    # resume + watchdogs armed only when outputs persist (pngs are the
+    # progress record; see _infer_common.run_inference for the rationale)
+    rss_limit = (watchdog.resolve_limit(getattr(args, "rss_limit_gb", 0.0))
+                 if args.output_dir else 0.0)
+    stall = watchdog.StallWatchdog(
+        (getattr(args, "stall_limit_min", 0.0) or 0.0) * 60.0
+        if args.output_dir else 0.0,
+        describe="image",
+    )
+
+    def _out_path(row):
+        return osp.join(args.output_dir,
+                        osp.splitext(osp.basename(row[0]))[0] + ".png")
+
+    if getattr(args, "skip_existing", False) and args.output_dir:
+        done_rows, rows = watchdog.split_existing(rows, _out_path)
+        # keep the streaming/final mIoU COMPLETE across relaunches: fold the
+        # already-dumped masks (this model's own deterministic outputs) back
+        # into the confusion from disk instead of silently dropping them
+        for row in done_rows:
+            if len(row) > 1:
+                conf.add(read_mask_png(osp.join(args.data_dir, row[1])),
+                         read_mask_png(_out_path(row)))
+
     def score(index, row, mask):
         if args.output_dir:
-            out = osp.splitext(osp.basename(row[0]))[0] + ".png"
-            write_png(mask, osp.join(args.output_dir, out))
+            write_png(mask, _out_path(row))
         if has_gt:
             gt = read_mask_png(osp.join(args.data_dir, row[1]))
             conf.add(gt, mask)
             if (index + 1) % 100 == 0:
                 ave_j, _, _ = conf.jaccard()
                 print(f"{index + 1} images, running meanIOU: {ave_j:.4f}", flush=True)
+        stall.tick()
+        if (index + 1) % 100 == 0:
+            watchdog.maybe_restart(rss_limit, index + 1, len(rows))
 
     from dsrg_tpu.tools._infer_common import resolve_pipeline
 
@@ -98,6 +126,7 @@ def run_coco(args, sizes=None, scales=None) -> float:
             )
             score(index, row, mask)
             index += 1
+    stall.close()
     if conf.M.sum() > 0:
         ave_j, _, _ = conf.jaccard()
         print("final meanIOU:", ave_j)

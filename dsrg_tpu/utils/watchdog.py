@@ -66,6 +66,37 @@ def over_limit(limit_gb: float) -> bool:
     return bool(limit_gb) and rss_gb() > limit_gb
 
 
+def maybe_restart(limit_gb: float, done: int, total: int,
+                  resume_hint: str = "--skip-existing",
+                  unit: str = "images") -> None:
+    """Exit ``RESTART_EXIT_CODE`` when past the RSS limit and work remains.
+
+    Shared by every dump-style CLI loop (outputs written so far are the
+    progress record, so a supervised relaunch with ``resume_hint`` resumes
+    losslessly).  Finishing beats restarting: never fires once ``done``
+    reaches ``total``.
+    """
+    if limit_gb and done < total and over_limit(limit_gb):
+        print(f"rss-watchdog: host RSS {rss_gb():.1f} GB > {limit_gb:.1f} GB "
+              f"limit after {done}/{total} {unit} -> exit "
+              f"{RESTART_EXIT_CODE} (relaunch with {resume_hint} to "
+              "continue)", flush=True)
+        raise SystemExit(RESTART_EXIT_CODE)
+
+
+def split_existing(items, path_fn):
+    """Partition work items into (done, todo) by output existence.
+
+    The ``--skip-existing`` resume primitive: ``path_fn(item)`` is the
+    item's output path.  Logs the split so relaunch logs show resumption.
+    """
+    done, todo = [], []
+    for it in items:
+        (done if os.path.exists(path_fn(it)) else todo).append(it)
+    print(f"skip-existing: {len(done)} done, {len(todo)} to go", flush=True)
+    return done, todo
+
+
 class StallWatchdog:
     """Force-exit when no progress tick arrives within ``limit_s`` seconds.
 

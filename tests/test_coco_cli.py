@@ -65,6 +65,23 @@ def test_coco_stage_s_training_and_eval_cli(coco_tree, tmp_path):
     for i in range(3):
         assert osp.exists(osp.join(str(tmp_path / "preds_dev"), f"{i}.png"))
 
+    # --skip-existing resume: a relaunch over a complete dump rewrites
+    # nothing AND reproduces the identical final mIoU — skipped masks are
+    # folded back into the confusion from disk, so a watchdog-interrupted
+    # dump resumed mid-way still reports the full-dataset number
+    mtimes = {i: osp.getmtime(osp.join(str(tmp_path / "preds_dev"), f"{i}.png"))
+              for i in range(3)}
+    args = p.parse_args([
+        "--images", str(coco_tree / "list.txt"), "--dir", str(coco_tree),
+        "--model", params, "--output", str(tmp_path / "preds_dev"),
+        "--num-classes", "6", "--batch", "2", "--skip-existing",
+    ])
+    miou_resumed = run_coco(args, sizes=[41])
+    assert miou_resumed == pytest.approx(miou_dev, abs=1e-12)
+    for i, t in mtimes.items():
+        assert osp.getmtime(
+            osp.join(str(tmp_path / "preds_dev"), f"{i}.png")) == t
+
 
 def test_coco_f_device_pipeline_scales(coco_tree, tmp_path):
     """test-coco-f's scales mode through the streaming device pipeline
