@@ -424,6 +424,8 @@ def main():
 
     batch = 20
     tpu_ips, tpu_dt = bench_tpu_step(batch_size=batch)
+    # throughput knob beyond the reference recipe's batch 20 (knee ~b32)
+    b32_ips, b32_dt = bench_tpu_step(batch_size=32)
     ref_ips, ref_dt, ref_detail = bench_reference_host_step(batch_size=batch)
     sse_step_s = ref_detail["host_step_ms_sse_adjusted"] / 1000.0
     print(
@@ -435,6 +437,8 @@ def main():
                 "vs_baseline": round(tpu_ips / ref_ips, 2),
                 "detail": {
                     "tpu_step_ms": round(tpu_dt * 1000, 1),
+                    "img_per_s_at_batch32": round(b32_ips, 1),
+                    "batch32_step_ms": round(b32_dt * 1000, 1),
                     "reference_host_only_step_ms": round(ref_dt * 1000, 1),
                     "vs_baseline_sse_adjusted_lower_bound": round(
                         tpu_ips / (batch / sse_step_s), 2
