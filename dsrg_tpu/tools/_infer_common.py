@@ -155,15 +155,8 @@ def run_inference(
         )
     engine, chunk, pipeline, use_device = resolve_pipeline(args, sizes, scales)
 
-    # only armed when outputs are persisted — without an output dir a
-    # relaunch could not resume, so a restart would loop from scratch
-    rss_limit = (watchdog.resolve_limit(getattr(args, "rss_limit_gb", 0.0))
-                 if args.output_dir else 0.0)
-    stall = watchdog.StallWatchdog(
-        (getattr(args, "stall_limit_min", 0.0) or 0.0) * 60.0
-        if args.output_dir else 0.0,
-        describe="inference-chunk",
-    )
+    rss_limit, stall = watchdog.arm(args, persist=bool(args.output_dir),
+                                    describe="inference-chunk")
 
     def _maybe_restart(done: int) -> None:
         watchdog.maybe_restart(rss_limit, done, len(image_ids))

@@ -71,9 +71,8 @@ def main(argv=None) -> None:
             lambda r: osp.join(args.output_dir,
                                osp.splitext(osp.basename(r[0]))[0] + "_cue.png"),
         )
-    rss_limit = watchdog.resolve_limit(args.rss_limit_gb)
-    stall = watchdog.StallWatchdog((args.stall_limit_min or 0.0) * 60.0,
-                                   describe="image")
+    # --output is required here, so persistence always holds
+    rss_limit, stall = watchdog.arm(args, persist=True, describe="image")
 
     predictor = None
     refine_grow = None

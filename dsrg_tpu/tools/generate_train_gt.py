@@ -38,13 +38,8 @@ def main(argv=None) -> None:
             lambda r: osp.join(args.output_dir,
                                osp.splitext(osp.basename(r[0]))[0] + ".png"),
         )
-    # armed only when outputs persist (see _infer_common.run_inference)
-    rss_limit = (watchdog.resolve_limit(args.rss_limit_gb)
-                 if args.output_dir else 0.0)
-    stall = watchdog.StallWatchdog(
-        (args.stall_limit_min or 0.0) * 60.0 if args.output_dir else 0.0,
-        describe="image",
-    )
+    rss_limit, stall = watchdog.arm(args, persist=bool(args.output_dir),
+                                    describe="image")
     for index, (fname, image_id) in enumerate(rows):
         print(index, fname, flush=True)
         stall.tick()

@@ -31,15 +31,8 @@ def run_coco(args, sizes=None, scales=None) -> float:
 
     from dsrg_tpu.utils import watchdog
 
-    # resume + watchdogs armed only when outputs persist (pngs are the
-    # progress record; see _infer_common.run_inference for the rationale)
-    rss_limit = (watchdog.resolve_limit(getattr(args, "rss_limit_gb", 0.0))
-                 if args.output_dir else 0.0)
-    stall = watchdog.StallWatchdog(
-        (getattr(args, "stall_limit_min", 0.0) or 0.0) * 60.0
-        if args.output_dir else 0.0,
-        describe="image",
-    )
+    rss_limit, stall = watchdog.arm(args, persist=bool(args.output_dir),
+                                    describe="image")
 
     def _out_path(row):
         return osp.join(args.output_dir,

@@ -74,14 +74,35 @@ def maybe_restart(limit_gb: float, done: int, total: int,
     Shared by every dump-style CLI loop (outputs written so far are the
     progress record, so a supervised relaunch with ``resume_hint`` resumes
     losslessly).  Finishing beats restarting: never fires once ``done``
-    reaches ``total``.
+    reaches ``total``.  Never fires at ``done == 0`` either — each launch
+    must bank at least some progress, so an RSS limit below the process'
+    floor footprint still advances the dump monotonically instead of
+    tripping the supervisor's no-progress abort.
     """
-    if limit_gb and done < total and over_limit(limit_gb):
+    if limit_gb and 0 < done < total and over_limit(limit_gb):
         print(f"rss-watchdog: host RSS {rss_gb():.1f} GB > {limit_gb:.1f} GB "
               f"limit after {done}/{total} {unit} -> exit "
               f"{RESTART_EXIT_CODE} (relaunch with {resume_hint} to "
               "continue)", flush=True)
         raise SystemExit(RESTART_EXIT_CODE)
+
+
+def arm(args, persist: bool, describe: str):
+    """Standard CLI watchdog arming: ``(rss_limit, stall)`` from the shared
+    ``--rss-limit-gb`` / ``--stall-limit-min`` flags.
+
+    Both watchdogs only arm when ``persist`` is true (outputs/snapshots are
+    written, so a relaunch can resume) — without persistence a restart
+    would loop from scratch.
+    """
+    rss_limit = (resolve_limit(getattr(args, "rss_limit_gb", 0.0))
+                 if persist else 0.0)
+    stall = StallWatchdog(
+        (getattr(args, "stall_limit_min", 0.0) or 0.0) * 60.0
+        if persist else 0.0,
+        describe=describe,
+    )
+    return rss_limit, stall
 
 
 def split_existing(items, path_fn):

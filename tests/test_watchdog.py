@@ -30,6 +30,15 @@ def test_rss_and_limit_resolution():
     assert watchdog.over_limit(1e-6)             # far below any real RSS
     assert not watchdog.over_limit(10_000.0)
 
+    # maybe_restart: fires only mid-run with progress banked — each launch
+    # must write SOMETHING before a restart, and finishing beats restarting
+    with pytest.raises(SystemExit) as exc:
+        watchdog.maybe_restart(1e-6, done=1, total=10)
+    assert exc.value.code == watchdog.RESTART_EXIT_CODE
+    watchdog.maybe_restart(1e-6, done=0, total=10)    # zero progress: no fire
+    watchdog.maybe_restart(1e-6, done=10, total=10)   # complete: no fire
+    watchdog.maybe_restart(0.0, done=5, total=10)     # disarmed: no fire
+
 
 def test_stall_watchdog_fires_only_without_ticks():
     """The stall watchdog stays quiet while ticks arrive, fires once the
