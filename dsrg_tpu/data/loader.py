@@ -19,7 +19,7 @@ from typing import Iterable, Iterator
 import jax
 import numpy as np
 
-from dsrg_tpu.parallel.mesh import shard_batch
+from dsrg_tpu.parallel.mesh import pad_batch_to_multiple, shard_global_batch
 
 
 class PrefetchLoader:
@@ -49,7 +49,13 @@ class PrefetchLoader:
             batch = dict(batch)
             batch["images"] = np.asarray(batch["images"], np.float16)
         if self.mesh is not None:
-            return shard_batch(batch, self.mesh)
+            # pad an uneven (local) batch to this process's device-shard
+            # multiple and mark pad rows in 'pad_mask' (the steps mask them
+            # out of losses/grads/metrics exactly) — lets the reference's
+            # batch 20/10 recipes shard over an 8-chip mesh
+            per_process = max(1, self.mesh.size // jax.process_count())
+            batch = pad_batch_to_multiple(batch, per_process)
+            return shard_global_batch(batch, self.mesh)
         return {k: jax.device_put(v) for k, v in batch.items()}
 
     def _worker(self) -> None:

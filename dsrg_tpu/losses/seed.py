@@ -36,6 +36,35 @@ def seed_loss(probs: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     return -jnp.mean(per)
 
 
+def balanced_seed_loss_per_sample(
+    probs: jnp.ndarray, labels: jnp.ndarray, min_prob: float = MIN_PROB
+) -> jnp.ndarray:
+    """Per-sample stage-1 seed loss, shape ``(B,)``.
+
+    The batch loss is the mean of this vector; exposing the per-sample terms
+    lets padded/masked data-parallel steps weight each sample (pad rows get
+    weight 0) and reduce with an exact sum/psum-count instead of a mean —
+    required for sharding the reference's batch-20/10 recipes over meshes
+    that do not divide the batch.
+    """
+    probs_bg = probs[..., 0]
+    labels_bg = labels[..., 0]
+    probs_fg = probs[..., 1:]
+    labels_fg = labels[..., 1:]
+
+    count_bg = jnp.sum(labels_bg, axis=(1, 2))
+    count_fg = jnp.sum(labels_fg, axis=(1, 2, 3))
+    loss_bg = -(
+        jnp.sum(labels_bg * jnp.log(probs_bg), axis=(1, 2))
+        / jnp.maximum(count_bg, min_prob)
+    )
+    loss_fg = -(
+        jnp.sum(labels_fg * jnp.log(probs_fg), axis=(1, 2, 3))
+        / jnp.maximum(count_fg, min_prob)
+    )
+    return loss_bg + loss_fg
+
+
 def balanced_seed_loss(
     probs: jnp.ndarray, labels: jnp.ndarray, min_prob: float = MIN_PROB
 ) -> jnp.ndarray:
@@ -45,19 +74,4 @@ def balanced_seed_loss(
     normalized separately by their per-sample seed counts, each floored at
     ``min_prob`` to avoid division by zero, then summed.
     """
-    probs_bg = probs[..., 0]
-    labels_bg = labels[..., 0]
-    probs_fg = probs[..., 1:]
-    labels_fg = labels[..., 1:]
-
-    count_bg = jnp.sum(labels_bg, axis=(1, 2), keepdims=True)
-    count_fg = jnp.sum(labels_fg, axis=(1, 2, 3), keepdims=True)
-    loss_bg = -jnp.mean(
-        jnp.sum(labels_bg * jnp.log(probs_bg), axis=(1, 2), keepdims=True)
-        / jnp.maximum(count_bg, min_prob)
-    )
-    loss_fg = -jnp.mean(
-        jnp.sum(labels_fg * jnp.log(probs_fg), axis=(1, 2, 3), keepdims=True)
-        / jnp.maximum(count_fg, min_prob)
-    )
-    return loss_bg + loss_fg
+    return jnp.mean(balanced_seed_loss_per_sample(probs, labels, min_prob))

@@ -2,6 +2,7 @@ from dsrg_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     batch_sharding,
     replicated_sharding,
+    pad_batch_to_multiple,
     shard_batch,
     shard_global_batch,
     data_parallel_step,

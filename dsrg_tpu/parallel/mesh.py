@@ -42,6 +42,36 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = DATA_AXIS) -> dict:
     }
 
 
+def pad_batch_to_multiple(batch: dict, multiple: int) -> dict:
+    """Pad the leading (batch) dim to a multiple; append a {1,0} ``pad_mask``.
+
+    Makes uneven global batches — the reference's stage-1 batch 20 and
+    stage-2 batch 10 (train-s.prototxt:17-19, train-f.prototxt:11) — shard
+    over any mesh (e.g. a v5p-8's 8 chips).  Pad rows replicate the last
+    real sample (realistic values keep the CRF/grow numerics healthy); the
+    mask removes their contribution from losses, gradients, and metrics
+    exactly (the train steps reduce with weighted sums / psum'd valid
+    counts), so the padded step reproduces the unpadded numbers.
+    """
+    b = int(np.shape(next(iter(batch.values())))[0])
+    pad = (-b) % multiple
+    out = dict(batch)
+    if "pad_mask" not in out:
+        out["pad_mask"] = np.ones((b,), np.float32)
+    if pad == 0:
+        return out
+    padded = {}
+    for k, v in out.items():
+        v = np.asarray(v)
+        tail = (
+            np.zeros((pad,), v.dtype)
+            if k == "pad_mask"
+            else np.repeat(v[-1:], pad, axis=0)
+        )
+        padded[k] = np.concatenate([v, tail], axis=0)
+    return padded
+
+
 def shard_global_batch(local_batch: dict, mesh: Mesh, axis: str = DATA_AXIS) -> dict:
     """Assemble a globally-sharded batch from each process's LOCAL shard.
 

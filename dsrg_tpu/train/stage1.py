@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import optax
 
 from dsrg_tpu.config import Stage1Config
-from dsrg_tpu.losses import balanced_seed_loss, constrain_loss
+from dsrg_tpu.losses import balanced_seed_loss_per_sample, constrain_loss_per_sample
 from dsrg_tpu.ops.crf import crf_refine_with_log, crf_refine_with_log_truegrad
 from dsrg_tpu.ops.grow import dsrg_grow
 from dsrg_tpu.ops.softmax import MIN_PROB, clamp_straight_through, floored_softmax
@@ -72,10 +72,16 @@ def make_stage1_step(
       images: (B, H, W, 3) float32 mean-subtracted BGR
       labels: (B, M) float32 multi-hot image labels (bit 0 = bg, always 1)
       cues:   (B, h, w, M) float32 seed cues at score resolution
+      pad_mask: optional (B,) {1,0} — 0 marks batch-padding rows added so an
+        uneven global batch (the reference's batch 20 on an 8-chip mesh)
+        shards evenly; masked rows contribute nothing to losses, gradients,
+        or metrics, so the padded step reproduces the unpadded numbers.
 
     With ``axis_name`` set the step is shard_map-ready: per-device RNGs are
-    decorrelated by the mesh position and gradients/metrics are pmean-reduced
-    over the data axis before the (replicated) optimizer update.
+    decorrelated by the mesh position; per-sample losses/gradients are
+    weighted-sum + psum(count) reduced over the data axis — the exact global
+    mean over *valid* samples regardless of per-shard counts — before the
+    (replicated) optimizer update.
     """
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, dict]:
@@ -93,6 +99,12 @@ def make_stage1_step(
         images = _device_normalize(batch["images"], input_mean)
         labels = batch["labels"]
         cues = batch["cues"].astype(jnp.float32)  # loaders may ship uint8 {0,1}
+        pad_mask = batch.get("pad_mask")
+        weights = (
+            jnp.ones((images.shape[0],), jnp.float32)
+            if pad_mask is None
+            else pad_mask.astype(jnp.float32)
+        )
 
         if cfg.mirror:
             flip = jax.random.bernoulli(flip_rng, 0.5, (images.shape[0],))
@@ -115,25 +127,31 @@ def make_stage1_step(
                 probs, images, cfg.crf_scale_factor, cfg.crf_iters, cfg.crf_fast
             )
             cues_new = dsrg_grow(labels, cues, q, th1=cfg.th1, th2=cfg.th2)
-            l_seed = balanced_seed_loss(probs, cues_new)
-            l_con = constrain_loss(probs, q_log)
-            return l_seed + l_con, (l_seed, l_con, cues_new)
+            # weighted SUMS of per-sample losses (not means): together with
+            # the psum'd valid count below this is the exact mean over valid
+            # samples — shard- and padding-independent
+            sum_seed = jnp.sum(weights * balanced_seed_loss_per_sample(probs, cues_new))
+            sum_con = jnp.sum(weights * constrain_loss_per_sample(probs, q_log))
+            return sum_seed + sum_con, (sum_seed, sum_con, cues_new)
 
-        (loss, (l_seed, l_con, cues_new)), grads = jax.value_and_grad(
+        (loss_sum, (sum_seed, sum_con, cues_new)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
 
+        n_valid = jnp.sum(weights)
+        seed_pixels = jnp.sum(cues_new * weights[:, None, None, None])
         if axis_name is not None:
-            grads = jax.lax.pmean(grads, axis_name)
-            loss = jax.lax.pmean(loss, axis_name)
-            l_seed = jax.lax.pmean(l_seed, axis_name)
-            l_con = jax.lax.pmean(l_con, axis_name)
+            grads, loss_sum, sum_seed, sum_con, n_valid, seed_pixels = jax.lax.psum(
+                (grads, loss_sum, sum_seed, sum_con, n_valid, seed_pixels), axis_name
+            )
+        inv = 1.0 / jnp.maximum(n_valid, 1.0)
+        grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+        loss = loss_sum * inv
+        l_seed = sum_seed * inv
+        l_con = sum_con * inv
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        seed_pixels = jnp.sum(cues_new)
-        if axis_name is not None:
-            seed_pixels = jax.lax.psum(seed_pixels, axis_name)
         metrics = {
             "loss": loss,
             "loss_seed": l_seed,

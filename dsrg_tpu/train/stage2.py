@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import optax
 
 from dsrg_tpu.config import Stage2Config
-from dsrg_tpu.losses import softmax_cross_entropy_ignore
+from dsrg_tpu.losses import softmax_cross_entropy_ignore_sums
 from dsrg_tpu.ops.interp import caffe_interp_shrink
 from dsrg_tpu.train.optimizer import caffe_sgd, lr_poly
 from dsrg_tpu.train.train_state import TrainState
@@ -36,7 +36,15 @@ def make_stage2_step(
     axis_name: str | None = None,
     extra_vars: dict | None = None,
 ):
-    """batch: images (B, H, W, 3) float32; labels (B, H, W) int32 (255 = ignore)."""
+    """batch: images (B, H, W, 3) float32; labels (B, H, W) int32 (255 = ignore).
+
+    Optional ``pad_mask`` (B,) {1,0}: rows added to even out an uneven global
+    batch over the mesh (the reference's batch 10 on 8 chips) are forced to
+    all-ignore labels, so they drop out of the VALID-normalized loss exactly.
+    Loss/accuracy reduce as psum(sum)/psum(count) — the exact global VALID
+    normalization even when shards carry different ignore-pixel counts
+    (Caffe's SoftmaxWithLoss normalization, train-f.prototxt:732-744).
+    """
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, dict]:
         base_rng = state.rng
@@ -64,20 +72,33 @@ def make_stage2_step(
         small = caffe_interp_shrink(
             labels[..., None].astype(jnp.float32), cfg.shrink_factor
         )[..., 0].astype(jnp.int32)
+        pad_mask = batch.get("pad_mask")
+        if pad_mask is not None:
+            small = jnp.where(
+                pad_mask[:, None, None] > 0, small, cfg.ignore_label
+            )
 
         def loss_fn(params):
             variables = {"params": params, **(extra_vars or {})}
             scores = model.apply(
                 variables, images, train=True, rngs={"dropout": drop_rng}
             )
-            loss, acc = softmax_cross_entropy_ignore(scores, small, cfg.ignore_label)
-            return loss, acc
+            loss_sum, acc_sum, n_valid = softmax_cross_entropy_ignore_sums(
+                scores, small, cfg.ignore_label
+            )
+            return loss_sum, (acc_sum, n_valid)
 
-        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss_sum, (acc_sum, n_valid)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
         if axis_name is not None:
-            grads = jax.lax.pmean(grads, axis_name)
-            loss = jax.lax.pmean(loss, axis_name)
-            acc = jax.lax.pmean(acc, axis_name)
+            grads, loss_sum, acc_sum, n_valid = jax.lax.psum(
+                (grads, loss_sum, acc_sum, n_valid), axis_name
+            )
+        inv = 1.0 / jnp.maximum(n_valid, 1.0)
+        grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+        loss = loss_sum * inv
+        acc = acc_sum * inv
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = {"loss": loss, "accuracy": acc,

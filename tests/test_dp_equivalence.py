@@ -11,7 +11,12 @@ import numpy as np
 
 from dsrg_tpu.config import Stage1Config
 from dsrg_tpu.models import DeepLabLargeFOV
-from dsrg_tpu.parallel import data_parallel_step, make_mesh, shard_batch
+from dsrg_tpu.parallel import (
+    data_parallel_step,
+    make_mesh,
+    pad_batch_to_multiple,
+    shard_batch,
+)
 from dsrg_tpu.train.stage1 import init_stage1, make_stage1_step
 
 import pytest
@@ -55,4 +60,82 @@ def test_dp_step_matches_single_device():
     flat1 = jax.tree_util.tree_leaves(s1.params)
     flat8 = jax.tree_util.tree_leaves(s8.params)
     for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7)
+
+
+def test_dp_step_uneven_batch_padded_matches_single_device():
+    """Batch 5 (does not divide 8 devices) padded to 8 with masked rows ==
+    the unpadded single-device step — the mechanism that puts the
+    reference's batch-20/10 recipes on an 8-chip mesh (VERDICT r3 item 1)."""
+    cfg = Stage1Config(
+        batch_size=5, crop_size=41, cue_size=6, num_classes=5,
+        crf_iters=2, mirror=False,
+    )
+    model = DeepLabLargeFOV(num_classes=5, head_dilations=(2, 4), dropout_rate=0.0)
+    state, tx, _ = init_stage1(model, cfg)
+
+    rng = np.random.default_rng(7)
+    labels = np.zeros((5, 5), np.float32)
+    labels[:, 0] = labels[:, 2] = 1.0
+    batch = {
+        "images": rng.normal(size=(5, 41, 41, 3)).astype(np.float32) * 20,
+        "labels": labels,
+        "cues": (rng.uniform(size=(5, 6, 6, 5)) < 0.1).astype(np.float32)
+        * labels[:, None, None, :],
+    }
+
+    single = jax.jit(make_stage1_step(model, cfg, tx))
+    s1, m1 = single(state, batch)
+
+    mesh = make_mesh()  # 8 virtual devices; each holds 1 sample, 3 masked
+    dp = data_parallel_step(
+        make_stage1_step(model, cfg, tx, axis_name="data"), mesh, donate_state=False
+    )
+    padded = pad_batch_to_multiple(batch, mesh.size)
+    s8, m8 = dp(state, shard_batch(padded, mesh))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    np.testing.assert_array_equal(
+        float(m1["seed_pixels"]), float(m8["seed_pixels"])
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7)
+
+
+def test_stage2_dp_uneven_batch_padded_matches_single_device():
+    """Stage-2 batch 6 over 8 devices (padded to 8, pad rows all-ignore) with
+    per-shard-uneven ignore pixels == single device: the psum(sum)/psum(count)
+    VALID normalization is exact where a pmean-of-shard-means is not."""
+    from dsrg_tpu.config import Stage2Config
+    from dsrg_tpu.train.stage2 import init_stage2, make_stage2_step
+
+    cfg = Stage2Config(batch_size=6, crop_size=41, num_classes=5, mirror=False)
+    model = DeepLabLargeFOV(num_classes=5, head_dilations=(2, 4), dropout_rate=0.0)
+    state, tx, _ = init_stage2(model, cfg)
+
+    rng = np.random.default_rng(3)
+    gt = rng.integers(0, 5, size=(6, 41, 41)).astype(np.int32)
+    gt[0, :20] = 255
+    gt[3, :, :15] = 255  # different valid counts per shard
+    batch = {
+        "images": rng.normal(size=(6, 41, 41, 3)).astype(np.float32) * 20,
+        "labels": gt,
+    }
+    single = jax.jit(make_stage2_step(model, cfg, tx))
+    s1, m1 = single(state, batch)
+
+    mesh = make_mesh()
+    dp = data_parallel_step(
+        make_stage2_step(model, cfg, tx, axis_name="data"), mesh, donate_state=False
+    )
+    padded = pad_batch_to_multiple(batch, mesh.size)
+    s8, m8 = dp(state, shard_batch(padded, mesh))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m1["accuracy"]), float(m8["accuracy"]), rtol=1e-6
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s8.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7)

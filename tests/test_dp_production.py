@@ -1,68 +1,191 @@
-"""Production-geometry data-parallel equivalence (VERDICT r2 item 3).
+"""Production-geometry data-parallel equivalence (VERDICT r2 item 3, r3 item 1).
 
-The toy-geometry test (``test_dp_equivalence.py``) proves the sharding math
-at 41²; this one runs ONE step of the *production* stage-1 program — global
-batch 20 @ 321²×21 classes, cue grid 41, the full 10-iteration CRF — sharded
-over a 4-device mesh (20 % 8 != 0; 4 is the largest mesh axis the
-reference's batch 20 divides over) and asserts the updated parameters match
-the single-device step.  Dropout/mirror are disabled: per-device RNG
-decorrelation is *by design* not equal to the single-device stream
-(``stage1.py:66``), and the equivalence claim is about the sharded
-numerics, not the augmentation RNG.
+The toy-geometry tests (``test_dp_equivalence.py``) prove the sharding +
+padding math single-vs-8-mesh at 41².  These prove it at the *production*
+geometry — 321²×21 classes, cue grid 41, the full 10-iteration CRF — and at
+the reference's own batch sizes (stage-1 batch 20, stage-2 batch 10,
+``train-s.prototxt:17-19`` / ``train-f.prototxt:11``) over the 8-device
+mesh, the v5p-8 north-star configuration.
 
-~5-15 min on a single CPU host (two full fwd+bwd passes at batch 20) —
-marked slow; ``pytest -m "not slow"`` skips it.
+Test structure note: a SINGLE-device batch-20 step at 321² is pathologically
+slow on this CI's 1-core XLA:CPU backend (hours; the same program is ~100 ms
+on one TPU chip), so the single-device anchor runs at batch 5 — full
+production spatial/class geometry, uneven over 8 devices (padded 5->8) —
+and the full batch-20/10 recipes are proven by sharding-invariance instead:
+dp4 vs dp8 produce identical params, which combined with the toy-geometry
+single-vs-mesh equivalence and the batch-5 production anchor covers the
+single-device claim transitively.
+
+Dropout/mirror are disabled: per-device RNG decorrelation is *by design*
+not equal across topologies, and the equivalence claim is about the sharded
+numerics, not the augmentation RNG.  ~15 min each on a 1-core CPU host —
+marked slow; ``pytest -m "not slow"`` skips them.
 """
 
 import jax
 import numpy as np
 import pytest
 
-from dsrg_tpu.config import Stage1Config
+from dsrg_tpu.config import Stage1Config, Stage2Config
 from dsrg_tpu.models import DeepLabLargeFOV
-from dsrg_tpu.parallel import data_parallel_step, make_mesh, shard_batch
+from dsrg_tpu.parallel import (
+    data_parallel_step,
+    make_mesh,
+    pad_batch_to_multiple,
+    shard_batch,
+)
 from dsrg_tpu.train.stage1 import init_stage1, make_stage1_step
+from dsrg_tpu.train.stage2 import init_stage2, make_stage2_step
+
+pytestmark = pytest.mark.slow
 
 
-@pytest.mark.slow
-def test_dp_step_matches_single_device_at_production_geometry():
-    cfg = Stage1Config(batch_size=20, mirror=False)  # 321², 21 classes, 10 CRF iters
+def _stage1_batch(batch_size, cfg, rng):
+    labels = np.zeros((batch_size, cfg.num_classes), np.float32)
+    labels[:, 0] = 1.0
+    for i in range(batch_size):
+        labels[i, 1 + rng.integers(0, cfg.num_classes - 1, 2)] = 1.0
+    return {
+        "images": (rng.normal(size=(batch_size, cfg.crop_size, cfg.crop_size, 3))
+                   * 40).astype(np.float32),
+        "labels": labels,
+        "cues": (rng.uniform(
+            size=(batch_size, cfg.cue_size, cfg.cue_size, cfg.num_classes)
+        ) < 0.02).astype(np.float32) * labels[:, None, None, :],
+    }
+
+
+def _assert_params_close(a, b, rtol=3e-5):
+    for x, y in zip(jax.tree_util.tree_leaves(a.params),
+                    jax.tree_util.tree_leaves(b.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=rtol, atol=1e-7)
+
+
+def test_stage1_production_geometry_single_vs_dp8_padded():
+    """Single device vs 8-mesh (batch 5 padded to 8) at 321²x21, 10-iter CRF."""
+    cfg = Stage1Config(batch_size=5, mirror=False)  # production spatial geometry
     model = DeepLabLargeFOV(num_classes=cfg.num_classes, dropout_rate=0.0)
     state, tx, _ = init_stage1(model, cfg)
-
-    rng = np.random.default_rng(0)
-    labels = np.zeros((20, 21), np.float32)
-    labels[:, 0] = 1.0
-    for i in range(20):
-        labels[i, 1 + rng.integers(0, 20, 2)] = 1.0
-    batch = {
-        "images": (rng.normal(size=(20, 321, 321, 3)) * 40).astype(np.float32),
-        "labels": labels,
-        "cues": (rng.uniform(size=(20, 41, 41, 21)) < 0.02).astype(np.float32)
-        * labels[:, None, None, :],
-    }
+    batch = _stage1_batch(5, cfg, np.random.default_rng(0))
 
     single = jax.jit(make_stage1_step(model, cfg, tx))
     s1, m1 = single(state, batch)
 
-    mesh = make_mesh(jax.devices()[:4])
+    mesh = make_mesh()
     dp = data_parallel_step(
         make_stage1_step(model, cfg, tx, axis_name="data"), mesh, donate_state=False
     )
-    s4, m4 = dp(state, shard_batch(batch, mesh))
+    padded = pad_batch_to_multiple(batch, mesh.size)
+    assert padded["images"].shape[0] == 8
+    s8, m8 = dp(state, shard_batch(padded, mesh))
 
-    # metrics digest: the numbers MULTICHIP_r03 records at this geometry
-    digest = {k: (float(m1[k]), float(m4[k]))
+    digest = {k: (float(m1[k]), float(m8[k]))
               for k in ("loss", "grad_norm", "seed_pixels")}
-    print("dp-production digest (single, dp4):", digest)
-    np.testing.assert_allclose(float(m1["loss"]), float(m4["loss"]), rtol=1e-5)
+    print("stage1 production digest (single, dp8):", digest)
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
     np.testing.assert_allclose(
-        float(m1["grad_norm"]), float(m4["grad_norm"]), rtol=1e-4
+        float(m1["grad_norm"]), float(m8["grad_norm"]), rtol=1e-4
     )
     np.testing.assert_allclose(
-        float(m1["seed_pixels"]), float(m4["seed_pixels"]), rtol=1e-6
+        float(m1["seed_pixels"]), float(m8["seed_pixels"]), rtol=1e-6
     )
-    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
-                    jax.tree_util.tree_leaves(s4.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=3e-5, atol=1e-7)
+    _assert_params_close(s1, s8)
+
+
+def test_stage1_batch20_dp4_vs_dp8_padded():
+    """The reference stage-1 recipe (batch 20): 4-mesh (divides evenly, no
+    padding) vs 8-mesh (padded to 24) must produce identical updates —
+    sharding- and padding-invariance at the full recipe batch."""
+    cfg = Stage1Config(batch_size=20, mirror=False)
+    model = DeepLabLargeFOV(num_classes=cfg.num_classes, dropout_rate=0.0)
+    state, tx, _ = init_stage1(model, cfg)
+    batch = _stage1_batch(20, cfg, np.random.default_rng(1))
+
+    mesh4 = make_mesh(jax.devices()[:4])
+    dp4 = data_parallel_step(
+        make_stage1_step(model, cfg, tx, axis_name="data"), mesh4, donate_state=False
+    )
+    s4, m4 = dp4(state, shard_batch(batch, mesh4))
+
+    mesh8 = make_mesh()
+    dp8 = data_parallel_step(
+        make_stage1_step(model, cfg, tx, axis_name="data"), mesh8, donate_state=False
+    )
+    padded = pad_batch_to_multiple(batch, mesh8.size)
+    assert padded["images"].shape[0] == 24
+    s8, m8 = dp8(state, shard_batch(padded, mesh8))
+
+    digest = {k: (float(m4[k]), float(m8[k]))
+              for k in ("loss", "grad_norm", "seed_pixels")}
+    print("stage1 batch-20 digest (dp4, dp8-padded):", digest)
+    np.testing.assert_allclose(float(m4["loss"]), float(m8["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m4["seed_pixels"]), float(m8["seed_pixels"]), rtol=1e-6
+    )
+    _assert_params_close(s4, s8)
+
+
+def test_stage2_batch10_single_anchor_and_dp_meshes():
+    """Stage-2 at 321²: single-device anchor (batch 4, uneven ignore bands,
+    padded to 8) + the reference batch 10 as dp4 (padded 12) vs dp8
+    (padded 16) sharding-invariance."""
+    cfg = Stage2Config(batch_size=4, mirror=False)
+    model = DeepLabLargeFOV(num_classes=cfg.num_classes, dropout_rate=0.0)
+    state, tx, _ = init_stage2(model, cfg)
+
+    rng = np.random.default_rng(2)
+    gt = rng.integers(0, 21, size=(4, 321, 321)).astype(np.int32)
+    gt[:, :40] = 255  # ignore band (pad-to-crop semantics)
+    gt[2, :, :200] = 255  # uneven valid counts across shards
+    batch = {
+        "images": (rng.normal(size=(4, 321, 321, 3)) * 40).astype(np.float32),
+        "labels": gt,
+    }
+    single = jax.jit(make_stage2_step(model, cfg, tx))
+    s1, m1 = single(state, batch)
+
+    mesh8 = make_mesh()
+    dp8 = data_parallel_step(
+        make_stage2_step(model, cfg, tx, axis_name="data"), mesh8, donate_state=False
+    )
+    padded = pad_batch_to_multiple(batch, mesh8.size)
+    s8, m8 = dp8(state, shard_batch(padded, mesh8))
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m1["accuracy"]), float(m8["accuracy"]), rtol=1e-6
+    )
+    _assert_params_close(s1, s8)
+
+    # reference batch 10 over two mesh sizes (both padded)
+    cfg10 = Stage2Config(batch_size=10, mirror=False)
+    state10, tx10, _ = init_stage2(model, cfg10)
+    gt10 = rng.integers(0, 21, size=(10, 321, 321)).astype(np.int32)
+    gt10[:, :40] = 255
+    gt10[3, :, :150] = 255
+    batch10 = {
+        "images": (rng.normal(size=(10, 321, 321, 3)) * 40).astype(np.float32),
+        "labels": gt10,
+    }
+    mesh4 = make_mesh(jax.devices()[:4])
+    dp4 = data_parallel_step(
+        make_stage2_step(model, cfg10, tx10, axis_name="data"), mesh4,
+        donate_state=False,
+    )
+    p4 = pad_batch_to_multiple(batch10, mesh4.size)
+    assert p4["images"].shape[0] == 12
+    s4b, m4b = dp4(state10, shard_batch(p4, mesh4))
+
+    dp8b = data_parallel_step(
+        make_stage2_step(model, cfg10, tx10, axis_name="data"), mesh8,
+        donate_state=False,
+    )
+    p8 = pad_batch_to_multiple(batch10, mesh8.size)
+    assert p8["images"].shape[0] == 16
+    s8b, m8b = dp8b(state10, shard_batch(p8, mesh8))
+
+    np.testing.assert_allclose(float(m4b["loss"]), float(m8b["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m4b["accuracy"]), float(m8b["accuracy"]), rtol=1e-6
+    )
+    _assert_params_close(s4b, s8b)
