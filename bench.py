@@ -39,7 +39,61 @@ def _enable_compile_cache():
         pass
 
 
-def bench_tpu_step(batch_size: int = 20, crop: int = 321, iters: int = 10, warmup: int = 3):
+_PEAK_BF16_TFLOPS = [
+    # (device_kind substring, per-chip bf16 peak TFLOP/s) — longest match wins
+    ("TPU v6", 918.0),
+    ("TPU v5p", 459.0),
+    ("TPU v5 lite", 197.0),
+    ("TPU v5e", 197.0),
+    ("TPU v5", 459.0),
+    ("TPU v4", 275.0),
+    ("TPU v3", 123.0),
+    ("TPU v2", 46.0),
+]
+
+
+def _chip_peak_tflops():
+    """(device_kind, per-chip bf16 peak TFLOP/s or None if unrecognized)."""
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    for sub, peak in _PEAK_BF16_TFLOPS:
+        if sub.lower() in kind.lower():
+            return kind, peak
+    return kind, None
+
+
+def _xla_flops(jitted, *args):
+    """XLA's own FLOP count for the compiled program (fwd+bwd+update)."""
+    try:
+        analysis = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        flops = float(analysis.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
+
+def _mfu_detail(flops, step_seconds):
+    """MFU fields for a bench detail dict (driver-tracked, VERDICT r3 item 4)."""
+    if not flops:
+        return {"gflops_per_step": None}
+    kind, peak = _chip_peak_tflops()
+    achieved = flops / step_seconds / 1e12
+    out = {
+        "gflops_per_step": round(flops / 1e9, 1),
+        "achieved_tflops": round(achieved, 2),
+        "chip": kind,
+    }
+    if peak:
+        out["peak_bf16_tflops"] = peak
+        out["mfu_pct"] = round(achieved / peak * 100.0, 1)
+    return out
+
+
+def bench_tpu_step(batch_size: int = 20, crop: int = 321, iters: int = 10,
+                   warmup: int = 3, parity_fp32: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -49,11 +103,15 @@ def bench_tpu_step(batch_size: int = 20, crop: int = 321, iters: int = 10, warmu
     from dsrg_tpu.models import DeepLabLargeFOV
     from dsrg_tpu.train.stage1 import init_stage1, make_stage1_step
 
-    cfg = Stage1Config(
-        batch_size=batch_size, crop_size=crop, compute_dtype="bfloat16",
-        crf_fast=True,  # explicit perf opt-in (default is reference-parity fp32)
-    )
-    model = DeepLabLargeFOV(num_classes=cfg.num_classes, compute_dtype=jnp.bfloat16)
+    if parity_fp32:  # the reference-parity numerics: fp32 model + fp32 CRF
+        cfg = Stage1Config(batch_size=batch_size, crop_size=crop)
+        model = DeepLabLargeFOV(num_classes=cfg.num_classes)
+    else:
+        cfg = Stage1Config(
+            batch_size=batch_size, crop_size=crop, compute_dtype="bfloat16",
+            crf_fast=True,  # explicit perf opt-in (default is reference-parity fp32)
+        )
+        model = DeepLabLargeFOV(num_classes=cfg.num_classes, compute_dtype=jnp.bfloat16)
     state, tx, _ = init_stage1(model, cfg)
     step = jax.jit(make_stage1_step(model, cfg, tx), donate_argnums=(0,))
 
@@ -70,6 +128,11 @@ def bench_tpu_step(batch_size: int = 20, crop: int = 321, iters: int = 10, warmu
         "cues": jnp.asarray(cues),
     }
 
+    # FLOP count from the compiled executable BEFORE running (the run loop
+    # donates the state buffers; the lowered computation is cached so the
+    # timing loop below reuses this same executable)
+    flops = _xla_flops(step, state, batch)
+
     # NB: float() materialization is the sync point — block_until_ready alone
     # does not reliably block through the remote-TPU tunnel.  Steps chain
     # through the donated train state, so syncing once after the loop still
@@ -85,7 +148,7 @@ def bench_tpu_step(batch_size: int = 20, crop: int = 321, iters: int = 10, warmu
     final = float(metrics["loss"])
     dt = (time.perf_counter() - t0) / iters
     assert np.isfinite(final)
-    return batch_size / dt, dt
+    return batch_size / dt, dt, flops
 
 
 def _grow_one(args):
@@ -360,6 +423,7 @@ def bench_stage2_step(batch_size: int = 10, crop: int = 321, iters: int = 10):
         "images": jnp.asarray(rng.normal(size=(batch_size, crop, crop, 3)).astype(np.float32) * 40),
         "labels": jnp.asarray(rng.integers(0, 21, size=(batch_size, crop, crop)).astype(np.int32)),
     }
+    flops = _xla_flops(step, state, batch)
     for _ in range(3):
         state, m = step(state, batch)
     float(m["loss"])
@@ -368,17 +432,29 @@ def bench_stage2_step(batch_size: int = 10, crop: int = 321, iters: int = 10):
         state, m = step(state, batch)
     float(m["loss"])
     dt = (time.perf_counter() - t0) / iters
-    return batch_size / dt, dt
+    return batch_size / dt, dt, flops
 
 
 def main():
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", type=int, default=4, choices=[1, 2, 3, 4, 5, 6, 7],
+    ap.add_argument("--config", type=int, default=4, choices=[1, 2, 3, 4, 5, 6, 7, 8],
                     help="BASELINE.json config index (default: full train step); "
-                    "6 = stage-2 step; 7 = e2e multi-scale inference pipeline")
+                    "6 = stage-2 step; 7 = e2e multi-scale inference pipeline; "
+                    "8 = parity-mode (fp32 model + fp32 CRF) stage-1 step")
     args = ap.parse_args()
+
+    if args.config == 8:
+        ips, dt, flops = bench_tpu_step(batch_size=20, parity_fp32=True)
+        print(json.dumps({"metric": "images/sec/chip (stage-1 step, reference-parity fp32, batch 20)",
+                          "value": round(ips, 2), "unit": "images/sec/chip",
+                          "vs_baseline": None,
+                          "detail": {"ms_per_step": round(dt * 1000, 1),
+                                     **_mfu_detail(flops, dt),
+                                     "note": "fp32 model + fp32 CRF mean field (no --crf-fast); "
+                                             "the exact reference numerics"}}))
+        return
 
     if args.config == 7:
         ips, dt = bench_infer_e2e()
@@ -389,11 +465,15 @@ def main():
         return
 
     if args.config == 6:
-        ips, dt = bench_stage2_step()
+        ips, dt, flops = bench_stage2_step()
+        b32_ips, b32_dt, _ = bench_stage2_step(batch_size=32)
         print(json.dumps({"metric": "images/sec (stage-2 retrain step, batch 10 @ 321x321)",
                           "value": round(ips, 2), "unit": "images/sec",
                           "vs_baseline": None,
-                          "detail": {"ms_per_step": round(dt * 1000, 1)}}))
+                          "detail": {"ms_per_step": round(dt * 1000, 1),
+                                     **_mfu_detail(flops, dt),
+                                     "img_per_s_at_batch32": round(b32_ips, 1),
+                                     "batch32_step_ms": round(b32_dt * 1000, 1)}}))
         return
 
     if args.config == 1:
@@ -423,9 +503,9 @@ def main():
         return
 
     batch = 20
-    tpu_ips, tpu_dt = bench_tpu_step(batch_size=batch)
+    tpu_ips, tpu_dt, flops = bench_tpu_step(batch_size=batch)
     # throughput knob beyond the reference recipe's batch 20 (knee ~b32)
-    b32_ips, b32_dt = bench_tpu_step(batch_size=32)
+    b32_ips, b32_dt, _ = bench_tpu_step(batch_size=32)
     ref_ips, ref_dt, ref_detail = bench_reference_host_step(batch_size=batch)
     sse_step_s = ref_detail["host_step_ms_sse_adjusted"] / 1000.0
     print(
@@ -437,6 +517,7 @@ def main():
                 "vs_baseline": round(tpu_ips / ref_ips, 2),
                 "detail": {
                     "tpu_step_ms": round(tpu_dt * 1000, 1),
+                    **_mfu_detail(flops, tpu_dt),
                     "img_per_s_at_batch32": round(b32_ips, 1),
                     "batch32_step_ms": round(b32_dt * 1000, 1),
                     "reference_host_only_step_ms": round(ref_dt * 1000, 1),
