@@ -34,11 +34,16 @@ def test_entry_compiles_and_runs():
 
 
 def test_dryrun_multichip_in_process():
-    """Under the pytest 8-device CPU mesh the in-process path runs."""
+    """Under the pytest 8-device CPU mesh the in-process path runs.
+
+    Toy geometry: this test guards the mechanism (in-process dispatch, padded
+    uneven batch 5->8, sharded step, DP inference); the driver's production
+    geometry (batch 20 @ 321²x21, the default) is covered by the
+    MULTICHIP_r* artifact itself and by test_dp_production."""
     sys.path.insert(0, REPO)
     import __graft_entry__ as g
 
-    g.dryrun_multichip(4)
+    g.dryrun_multichip(4, geometry="toy")
 
 
 def test_dryrun_multichip_single_device_fallback():
@@ -62,7 +67,7 @@ def test_dryrun_multichip_single_device_fallback():
         "import jax\n"
         "assert len(jax.devices()) == 1, jax.devices()\n"
         "from __graft_entry__ import dryrun_multichip\n"
-        "dryrun_multichip(8)\n"
+        "dryrun_multichip(8, geometry='toy')\n"
     )
     proc = subprocess.run(
         [sys.executable, "-c", code],
