@@ -99,7 +99,22 @@ class _EpochOrder:
         self._seed = seed
         self._epoch = -1
         self._order = None
-        self._count = 0  # global samples drawn so far
+        self._count = 0  # samples drawn so far (local, in multi-host mode)
+        self._shard_index = 0
+        self._shard_count = 1
+
+    def configure_shard(self, shard_index: int, shard_count: int) -> None:
+        """Multi-host mode: serve only this process's contiguous slice of
+        every GLOBAL batch.
+
+        With ``batch_size`` set to the per-process local batch, local draw
+        ``(t, j)`` maps to global sample ``t*global_batch + shard*local + j``
+        — the same layout ``parallel.distributed.local_batch_slice`` assigns
+        to this process's devices, so every process reads a disjoint slice of
+        the identical global data order (deterministic resume included)."""
+        assert 0 <= shard_index < shard_count, (shard_index, shard_count)
+        self._shard_index = shard_index
+        self._shard_count = shard_count
 
     def _index_at(self, k: int) -> int:
         epoch, pos = divmod(k, self._n)
@@ -114,7 +129,12 @@ class _EpochOrder:
         return int(self._order[pos])
 
     def _next_index(self) -> int:
-        idx = self._index_at(self._count)
+        k = self._count
+        if self._shard_count > 1:
+            t, j = divmod(k, self.batch_size)
+            k = (t * self.batch_size * self._shard_count
+                 + self._shard_index * self.batch_size + j)
+        idx = self._index_at(k)
         self._count += 1
         return idx
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 import time
 
 import jax
@@ -35,6 +36,17 @@ def parse_args(argv=None):
     p.add_argument("--snapshot", default=None, help="full train-state checkpoint to resume")
     p.add_argument("--snapshot-dir", default="models", help="snapshot output dir")
     p.add_argument("--gpu", dest="gpu_id", default=0, type=int, help="unused (parity flag)")
+    # multi-host SPMD (jax.distributed; SURVEY §2.4 "DCN for multi-slice").
+    # Launch the SAME command on every host with a distinct --process-id;
+    # env-var defaults match jax's own (so TPU pod launchers can omit them).
+    p.add_argument("--coordinator", default=os.environ.get("JAX_COORDINATOR_ADDRESS"),
+                   help="multi-host: coordinator host:port (process 0's address)")
+    p.add_argument("--num-processes", type=int,
+                   default=int(os.environ.get("JAX_NUM_PROCESSES", "1")),
+                   help="multi-host: total number of processes in the job")
+    p.add_argument("--process-id", type=int,
+                   default=int(os.environ.get("JAX_PROCESS_ID", "0")),
+                   help="multi-host: this process's index")
     # data
     p.add_argument("--image-dir", help="stage s: JPEGImages dir")
     p.add_argument("--input-list", help="stage s: input_list.txt (file id pairs)")
@@ -126,6 +138,18 @@ def _flush_metrics(pending, logger):
     return averaged
 
 
+def _local_batch(global_batch: int, n_proc: int) -> int:
+    """Per-process share of the global batch (multi-host data loading)."""
+    if n_proc == 1:
+        return global_batch
+    if global_batch % n_proc:
+        raise SystemExit(
+            f"global batch {global_batch} must divide over {n_proc} processes "
+            "(per-process loaders each read a contiguous slice of it)"
+        )
+    return global_batch // n_proc
+
+
 def _override(cfg, args):
     changes = {}
     if args.max_iter is not None:
@@ -151,11 +175,19 @@ def _override(cfg, args):
 
 def main(argv=None) -> None:
     args = parse_args(argv)
+    if args.num_processes > 1:
+        # must run before any jax backend use (SURVEY §2.4: multi-slice DP
+        # over DCN via jax.distributed; the reference is single-process)
+        from dsrg_tpu.parallel.distributed import initialize
+
+        initialize(args.coordinator, args.num_processes, args.process_id)
     from dsrg_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()
     import jax.numpy as jnp
 
+    n_proc = jax.process_count()
+    is_primary = jax.process_index() == 0
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
     def build_model(num_classes):
@@ -178,7 +210,7 @@ def main(argv=None) -> None:
             from dsrg_tpu.data.coco import COCO_MEAN, COCOCueDataset
 
             dataset = COCOCueDataset(
-                args.root, args.pair_list, batch_size=cfg.batch_size,
+                args.root, args.pair_list, batch_size=_local_batch(cfg.batch_size, n_proc),
                 new_size=(cfg.crop_size, cfg.crop_size),
                 num_classes=cfg.num_classes, seed=cfg.seed,
                 ship_uint8=args.ship_uint8 or args.cache_decoded,
@@ -192,7 +224,7 @@ def main(argv=None) -> None:
 
             dataset = Stage1Dataset(
                 args.image_dir, args.input_list, cue_db,
-                crop_size=cfg.crop_size, batch_size=cfg.batch_size, seed=cfg.seed,
+                crop_size=cfg.crop_size, batch_size=_local_batch(cfg.batch_size, n_proc), seed=cfg.seed,
                 ship_uint8=args.ship_uint8 or args.cache_decoded,
                 cache_dir=(osp.join(args.snapshot_dir, "decoded_cache")
                            if args.cache_decoded else None),
@@ -209,7 +241,7 @@ def main(argv=None) -> None:
 
         dataset = Stage2Dataset(
             args.root, args.pair_list,
-            crop_size=cfg.crop_size, batch_size=cfg.batch_size, seed=cfg.seed,
+            crop_size=cfg.crop_size, batch_size=_local_batch(cfg.batch_size, n_proc), seed=cfg.seed,
             ship_uint8=args.ship_uint8 or args.cache_decoded,
             cache_dir=(osp.join(args.snapshot_dir, "decoded_cache")
                        if args.cache_decoded else None),
@@ -254,12 +286,34 @@ def main(argv=None) -> None:
         dataset.seek(int(state.step))
 
     n_dev = len(jax.devices())
-    use_mesh = (not args.no_mesh) and n_dev > 1 and cfg.batch_size % n_dev == 0
-    if use_mesh:
-        mesh = make_mesh()
+    use_mesh = (not args.no_mesh) and n_dev > 1
+    if n_proc > 1:
+        # every process reads a disjoint contiguous slice of the global
+        # data order; batches assemble into global arrays in the loader
+        # (make_array_from_process_local_data via shard_global_batch)
+        dataset.configure_shard(jax.process_index(), n_proc)
+        if args.no_mesh:
+            raise SystemExit("--no-mesh is incompatible with --num-processes > 1")
+    if use_mesh or n_proc > 1:
+        if n_proc > 1:
+            from dsrg_tpu.parallel.distributed import make_global_mesh
+
+            mesh = make_global_mesh()
+        else:
+            mesh = make_mesh()
         step = data_parallel_step(make_step("data"), mesh, donate_state=False)
         loader = PrefetchLoader(dataset, mesh=mesh)
-        print(f"data-parallel over {n_dev} devices, {cfg.batch_size // n_dev} images/device")
+        padded = -(-cfg.batch_size // n_dev) * n_dev
+        note = (
+            ""
+            if padded == cfg.batch_size
+            else (f" (batch padded {cfg.batch_size}->{padded}; pad rows are "
+                  "masked out of losses/grads/metrics exactly)")
+        )
+        if is_primary:
+            proc_note = f" across {n_proc} processes" if n_proc > 1 else ""
+            print(f"data-parallel over {n_dev} devices{proc_note}, "
+                  f"{padded // n_dev} images/device{note}")
     else:
         step = jax.jit(make_step(None), donate_argnums=())
         loader = PrefetchLoader(dataset)
@@ -293,10 +347,18 @@ def main(argv=None) -> None:
     from dsrg_tpu.utils import watchdog
     from dsrg_tpu.utils.profiling import MetricLogger, StepTimer, trace
 
-    rss_limit = watchdog.resolve_limit(args.rss_limit_gb)
+    # multi-host: a one-sided exit-75 would strand the peers in collectives,
+    # so the auto (-1) RSS limit is disabled; an explicit --rss-limit-gb
+    # still applies (the supervisor must then relaunch ALL processes)
+    rss_limit = (
+        watchdog.resolve_limit(args.rss_limit_gb)
+        if (n_proc == 1 or args.rss_limit_gb > 0)
+        else 0.0
+    )
     stall = watchdog.StallWatchdog(args.stall_limit_min * 60.0,
                                    describe="training-step")
-    logger = MetricLogger(args.metrics_log, average_window=args.display)
+    logger = MetricLogger(args.metrics_log if is_primary else None,
+                          average_window=args.display)
     timer = StepTimer(cfg.batch_size)
     start_iter = int(state.step)
     profiler_ctx = None
@@ -322,12 +384,15 @@ def main(argv=None) -> None:
             profiler_ctx.__exit__(None, None, None)
             profiler_ctx = None
             print("profile trace ->", args.profile_dir, flush=True)
-        if (it + 1) % args.display == 0:
+        if (it + 1) % args.display == 0 and is_primary:
             extra = ""
             if timer.step_time:
                 extra = f" ({timer.step_time * 1000:.0f} ms/iter, {timer.images_per_sec:.1f} img/s)"
             print(f"iter {it + 1}: loss = {averaged['loss']:.4f}{extra}", flush=True)
-        if args.val_every and (it + 1) % args.val_every == 0 and args.val_ids:
+        if (args.val_every and (it + 1) % args.val_every == 0 and args.val_ids
+                and is_primary):
+            # local-devices-only computation: safe to run on one process
+            # while peers move on to the next (collective) step
             miou = run_validation(state.params)
             logger.log(it + 1, {"val_miou": miou})
             print(f"iter {it + 1}: val mIoU = {miou:.4f}", flush=True)
@@ -343,7 +408,8 @@ def main(argv=None) -> None:
             else:
                 path = ckpt.save_checkpoint(args.snapshot_dir, state, it + 1)
                 ckpt.save_params(path + "_params", to_save)
-            print("snapshot ->", path, flush=True)
+            if is_primary:
+                print("snapshot ->", path, flush=True)
         # host-RSS watchdog (utils/watchdog.py): past the limit, persist a
         # full snapshot and hand control back to the supervisor — completing
         # the run beats restarting, so never fire on the final iteration
