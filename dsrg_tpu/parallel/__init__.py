@@ -5,5 +5,6 @@ from dsrg_tpu.parallel.mesh import (  # noqa: F401
     pad_batch_to_multiple,
     shard_batch,
     shard_global_batch,
+    replicate_to_mesh,
     data_parallel_step,
 )

@@ -90,6 +90,26 @@ def shard_global_batch(local_batch: dict, mesh: Mesh, axis: str = DATA_AXIS) -> 
     return out
 
 
+def replicate_to_mesh(tree, mesh: Mesh):
+    """Re-place a pytree (e.g. a restored TrainState) replicated over ``mesh``.
+
+    Checkpoints restore committed to the process's device 0; a shard_map-jitted
+    step then refuses to mix that placement with a mesh-sharded batch.  This is
+    the topology-portability half of the reference's restore contract
+    (``train.py:57-58``): a snapshot written under ANY topology re-places onto
+    the current one.  Multi-host safe (each process holds the full replica).
+    """
+    sh = replicated_sharding(mesh)
+
+    def put(x):
+        x = np.asarray(jax.device_get(x))
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sh, x)
+        return jax.device_put(x, sh)
+
+    return jax.tree.map(put, tree)
+
+
 def data_parallel_step(step_fn, mesh: Mesh, axis: str = DATA_AXIS, donate_state: bool = True):
     """Wrap a per-shard (state, batch) -> (state, metrics) step with shard_map.
 

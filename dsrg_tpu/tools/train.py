@@ -22,7 +22,7 @@ from dsrg_tpu.data.cues import CueDB
 from dsrg_tpu.data.loader import PrefetchLoader
 from dsrg_tpu.data.voc import Stage1Dataset, Stage2Dataset
 from dsrg_tpu.models import DeepLabLargeFOV
-from dsrg_tpu.parallel import data_parallel_step, make_mesh
+from dsrg_tpu.parallel import data_parallel_step, make_mesh, replicate_to_mesh
 from dsrg_tpu.train import checkpoint as ckpt
 from dsrg_tpu.train.stage1 import init_stage1, make_stage1_step
 from dsrg_tpu.train.stage2 import init_stage2, make_stage2_step
@@ -301,6 +301,10 @@ def main(argv=None) -> None:
             mesh = make_global_mesh()
         else:
             mesh = make_mesh()
+        # snapshots restore committed to one device; re-place onto the mesh
+        # so restored runs shard exactly like fresh ones (topology-portable
+        # restore — tests/test_checkpoint_topology.py)
+        state = replicate_to_mesh(state, mesh)
         step = data_parallel_step(make_step("data"), mesh, donate_state=False)
         loader = PrefetchLoader(dataset, mesh=mesh)
         padded = -(-cfg.batch_size // n_dev) * n_dev
