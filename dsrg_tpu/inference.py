@@ -9,10 +9,12 @@ softmax + probability floor 1e-5; optionally smooth with
 TPU-shape note: the reference runs the fully-convolutional net at every
 image's exact size, so ``bucket=1`` (the default — exact per-shape
 compilation, reference-parity eval numbers) matches it bit-for-bit.  Passing
-``bucket>1`` zero-pads the (mean-subtracted) input up to a shape bucket and
-crops the score map back — one compile per bucket instead of per shape, at
-the cost of mean-pixel context beyond the true border (a border-only score
-perturbation).  Throughput opt-in only.
+``bucket>1`` pads the input up to a shape bucket and crops the score map
+back — one compile per bucket instead of per shape.  With a
+``valid_hw``-capable model (both in-tree backbones) the padded canvas is
+masked before every spatial op inside the net and the bucketed forward is
+EXACT vs per-shape compilation (``models/masking.py``); only models without
+``valid_hw`` fall back to the border-perturbed plain zero-pad.
 """
 
 from __future__ import annotations
@@ -111,6 +113,18 @@ class Predictor:
         self._fwd = jax.jit(
             lambda v, x: self.model.apply(v, x, train=False)
         )
+        # canvas forwards pass per-image valid extents when the model supports
+        # them (both in-tree backbones do) — the masked canvas forward is then
+        # EXACT vs per-shape compilation (models/masking.py), eliminating the
+        # border perturbation of a plain zero-padded canvas
+        import inspect
+
+        self._exact_canvas = "valid_hw" in inspect.signature(
+            type(model).__call__
+        ).parameters
+        self._fwd_masked = jax.jit(
+            lambda v, x, d: self.model.apply(v, x, train=False, valid_hw=d)
+        )
         self._dev_ms_cache: dict = {}
 
     def _pad_size(self, s: int) -> int:
@@ -134,7 +148,11 @@ class Predictor:
         ph, pw = self._pad_size(h), self._pad_size(w)
         x = np.zeros((1, ph, pw, 3), np.float32)
         x[0, :h, :w] = image_bgr
-        scores = np.asarray(self._fwd(self.variables, jnp.asarray(x)))[0]
+        if (ph, pw) != (h, w) and self._exact_canvas:
+            dims = jnp.asarray([[h, w]], jnp.float32)
+            scores = np.asarray(self._fwd_masked(self.variables, jnp.asarray(x), dims))[0]
+        else:
+            scores = np.asarray(self._fwd(self.variables, jnp.asarray(x)))[0]
         oh, ow = (h - 1) // 8 + 1, (w - 1) // 8 + 1
         return scores[:oh, :ow]
 
@@ -185,7 +203,15 @@ class Predictor:
         x = np.zeros((len(images_bgr), ph, pw, 3), np.float32)
         for i, im in enumerate(images_bgr):
             x[i, : im.shape[0], : im.shape[1]] = im
-        scores = np.asarray(self._fwd(self.variables, jnp.asarray(x)))
+        if self._exact_canvas and any(
+            im.shape[:2] != (ph, pw) for im in images_bgr
+        ):
+            dims = jnp.asarray(
+                [[im.shape[0], im.shape[1]] for im in images_bgr], jnp.float32
+            )
+            scores = np.asarray(self._fwd_masked(self.variables, jnp.asarray(x), dims))
+        else:
+            scores = np.asarray(self._fwd(self.variables, jnp.asarray(x)))
         out = []
         for i, im in enumerate(images_bgr):
             oh, ow = (im.shape[0] - 1) // 8 + 1, (im.shape[1] - 1) // 8 + 1
@@ -291,13 +317,17 @@ class Predictor:
         smooth: bool,
     ):
         model, m = self.model, self.num_classes
+        exact_canvas = self._exact_canvas
 
         # Per multi-scale entry: static forward-canvas dims + a fn giving the
         # DYNAMIC valid extent on that canvas.  Absolute sizes (test-ms.py)
         # fill their canvas exactly (reference-exact forward); fractional
-        # scales (test-ms-f.py) occupy round(s*dim) of a ceil(s*cap) canvas,
-        # zero-masked beyond (in mean-subtracted space) — the same border-
-        # perturbation class as the batched host path's zero-padded canvas.
+        # scales (test-ms-f.py) occupy round(s*dim) of a ceil(s*cap) canvas.
+        # With a valid_hw-capable model (both in-tree backbones) the canvas
+        # forward masks the dead region before every spatial op and is EXACT
+        # vs the per-shape host forward (models/masking.py); otherwise fall
+        # back to zero-masking the input only (border-perturbed, round-3
+        # behavior).
         if sizes is not None:
             specs = [
                 (int(s), int(s), (lambda s: lambda d: jnp.full_like(d, s))(int(s)), False)
@@ -335,14 +365,23 @@ class Predictor:
                 mw = jax.vmap(lambda iv, ov: _dyn_interp_rows(fw, pw, iv, ov))(d2, vw)
                 xs = jnp.einsum("bop,bpwc->bowc", mh, bgr)
                 xs = jnp.einsum("boq,bhqc->bhoc", mw, xs)  # (B, fh, fw, 3)
-                if masked:
-                    # zero the (mean-subtracted) canvas beyond the valid
-                    # extent: the same zero-pad border context as the exact-
-                    # size forward's first conv and the batched host canvas
-                    rh = jnp.arange(fh, dtype=jnp.float32)[None, :] < vh[:, None]
-                    rw = jnp.arange(fw, dtype=jnp.float32)[None, :] < vw[:, None]
-                    xs = xs * (rh[:, :, None] & rw[:, None, :])[..., None]
-                sc = model.apply(variables, xs, train=False).astype(jnp.float32)
+                if masked and exact_canvas:
+                    # exact masked-canvas forward: the model zeroes beyond
+                    # (vh, vw) before every spatial op, reproducing the
+                    # per-shape forward bit-for-bit up to fp reassociation
+                    sc = model.apply(
+                        variables, xs, train=False,
+                        valid_hw=jnp.stack([vh, vw], axis=-1),
+                    ).astype(jnp.float32)
+                else:
+                    if masked:
+                        # fallback for models without valid_hw: zero the
+                        # (mean-subtracted) input canvas beyond the valid
+                        # extent — first-conv border context only
+                        rh = jnp.arange(fh, dtype=jnp.float32)[None, :] < vh[:, None]
+                        rw = jnp.arange(fw, dtype=jnp.float32)[None, :] < vw[:, None]
+                        xs = xs * (rh[:, :, None] & rw[:, None, :])[..., None]
+                    sc = model.apply(variables, xs, train=False).astype(jnp.float32)
                 # score-canvas caps come from the traced output shape (exact
                 # for any Caffe ceil-pooling geometry, not just 8k+1 inputs);
                 # the VALID extent is the host crop rule (h-1)//8+1
@@ -412,9 +451,10 @@ class Predictor:
         resizes every image to exactly (s, s) — static forwards, no border
         padding anywhere.  ``scales`` mode (``test-ms-f.py:115-130``) runs
         each scale on a static ceil(s*canvas) forward canvas with the image
-        occupying a dynamic round(s*dim) extent, zero-masked beyond — the
-        same perturbation class as the batched host path's shared
-        zero-padded canvas.
+        occupying a dynamic round(s*dim) extent; with a valid_hw-capable
+        model the dead region is masked inside the net before every spatial
+        op, making the canvas forward EXACT vs the per-shape host forward
+        (``models/masking.py`` — closes the round-3 border perturbation).
         """
         return self._finish_device_ms(
             self._submit_device_ms(images_rgb, sizes, scales, smooth, canvas_bucket)

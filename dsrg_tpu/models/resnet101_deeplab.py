@@ -21,11 +21,17 @@ during segmentation finetuning); scale/offset remain trainable.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
 
+from dsrg_tpu.models.masking import (
+    apply_valid_mask,
+    conv_out_extent,
+    pool_out_extent,
+    split_valid_hw,
+)
 from dsrg_tpu.ops.pooling import caffe_max_pool
 
 
@@ -36,7 +42,12 @@ class Bottleneck(nn.Module):
     compute_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train_bn: bool = False):
+    def __call__(self, x, train_bn: bool = False, vh=None, vw=None):
+        """``vh``/``vw``: per-image valid extents of ``x`` on a shared canvas
+        (see ``models.masking``).  Only the 3x3 conv2 mixes spatial positions
+        here, so one mask before it (at the post-stride extent) keeps the
+        canvas forward exact; the 1x1 convs and the shortcut add are
+        pointwise in space."""
         def bn(name):
             return nn.BatchNorm(
                 use_running_average=not train_bn,
@@ -61,11 +72,14 @@ class Bottleneck(nn.Module):
             dtype=self.compute_dtype, param_dtype=jnp.float32, name="conv1",
         )(x)
         y = nn.relu(bn("bn1")(y))
+        if vh is not None and self.stride == 2:
+            vh = conv_out_extent(vh, 1, 2, 0)
+            vw = conv_out_extent(vw, 1, 2, 0)
         y = nn.Conv(
             self.features, (3, 3), padding=self.dilation,
             kernel_dilation=(self.dilation, self.dilation), use_bias=False,
             dtype=self.compute_dtype, param_dtype=jnp.float32, name="conv2",
-        )(y)
+        )(apply_valid_mask(y, vh, vw))
         y = nn.relu(bn("bn2")(y))
         y = nn.Conv(
             self.features * 4, (1, 1), use_bias=False,
@@ -82,18 +96,33 @@ class ResNet101DeepLab(nn.Module):
     compute_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False, train_bn: bool = False):
+    def __call__(
+        self,
+        x,
+        train: bool = False,
+        train_bn: bool = False,
+        valid_hw: Optional[jnp.ndarray] = None,
+    ):
+        """``valid_hw``: optional (B, 2) per-image valid extents — exact
+        shared-canvas forwards, same contract as ``DeepLabLargeFOV``
+        (see ``models.masking``; frozen-BN output on the dead region is
+        re-masked before every spatial op, so it never crosses the border)."""
         x = x.astype(self.compute_dtype)
+        vh, vw = split_valid_hw(valid_hw)
         x = nn.Conv(
             64, (7, 7), strides=2, padding=3, use_bias=False,
             dtype=self.compute_dtype, param_dtype=jnp.float32, name="conv1",
-        )(x)
+        )(apply_valid_mask(x, vh, vw))
         x = nn.BatchNorm(
             use_running_average=not train_bn, momentum=0.95, epsilon=1e-5,
             dtype=self.compute_dtype, param_dtype=jnp.float32, name="bn1",
         )(x)
         x = nn.relu(x)
-        x = caffe_max_pool(x, 3, 2, 1)
+        if vh is not None:
+            vh, vw = conv_out_extent(vh, 7, 2, 3), conv_out_extent(vw, 7, 2, 3)
+        x = caffe_max_pool(apply_valid_mask(x, vh, vw), 3, 2, 1)
+        if vh is not None:
+            vh, vw = pool_out_extent(vh), pool_out_extent(vw)
 
         widths = (64, 128, 256, 512)
         strides = (1, 2, 1, 1)
@@ -102,16 +131,21 @@ class ResNet101DeepLab(nn.Module):
             zip(self.stage_blocks, widths, strides, dilations), start=2
         ):
             for b in range(n_blocks):
+                stride = st if b == 0 else 1
                 x = Bottleneck(
                     features=w,
-                    stride=st if b == 0 else 1,
+                    stride=stride,
                     dilation=dil,
                     compute_dtype=self.compute_dtype,
                     name=f"res{s}_{b}",
-                )(x, train_bn=train_bn)
+                )(x, train_bn=train_bn, vh=vh, vw=vw)
+                if vh is not None and stride == 2:
+                    vh = conv_out_extent(vh, 1, 2, 0)
+                    vw = conv_out_extent(vw, 1, 2, 0)
 
         # head names follow the DeepLab-v2 ResNet prototxt (fc1_voc12_c0..c3)
         # so the caffemodel importer maps them directly
+        x = apply_valid_mask(x, vh, vw)  # shared input of all dilated heads
         scores = None
         for k, dil in enumerate(self.head_dilations):
             h = nn.Conv(

@@ -24,11 +24,16 @@ caffemodel importer maps one-to-one.
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
 
+from dsrg_tpu.models.masking import (
+    apply_valid_mask,
+    pool_out_extent,
+    split_valid_hw,
+)
 from dsrg_tpu.ops.pooling import caffe_avg_pool, caffe_max_pool
 
 # (name, out_channels, dilation) per VGG conv stage.
@@ -60,9 +65,24 @@ class DeepLabLargeFOV(nn.Module):
     compute_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        """x: (B, H, W, 3) mean-subtracted BGR images. Returns (B, H/8, W/8, C)."""
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        train: bool = False,
+        valid_hw: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """x: (B, H, W, 3) mean-subtracted BGR images. Returns (B, H/8, W/8, C).
+
+        ``valid_hw``: optional (B, 2) per-image valid extents on a shared
+        canvas.  When given, the region beyond each image's extent is zeroed
+        before every spatial-mixing op, which makes the canvas forward EXACT
+        vs running the net at each image's true size (see
+        ``dsrg_tpu.models.masking``); callers crop the score map to
+        ``(h-1)//8+1`` rows/cols per image.  ``None`` (the default) is the
+        plain full-canvas forward with zero overhead.
+        """
         x = x.astype(self.compute_dtype)
+        vh, vw = split_valid_hw(valid_hw)
 
         for (name, n_convs, ch, dil), pstride in zip(_STAGES, _POOL_STRIDE):
             for i in range(1, n_convs + 1):
@@ -74,10 +94,13 @@ class DeepLabLargeFOV(nn.Module):
                     dtype=self.compute_dtype,
                     param_dtype=jnp.float32,
                     name=f"{name}_{i}",
-                )(x)
+                )(apply_valid_mask(x, vh, vw))
                 x = nn.relu(x)
-            x = caffe_max_pool(x, 3, pstride, 1)
-        x = caffe_avg_pool(x, 3, 1, 1)  # pool5a
+            x = caffe_max_pool(apply_valid_mask(x, vh, vw), 3, pstride, 1)
+            if pstride == 2 and vh is not None:
+                vh, vw = pool_out_extent(vh), pool_out_extent(vw)
+        x = caffe_avg_pool(apply_valid_mask(x, vh, vw), 3, 1, 1)  # pool5a
+        x = apply_valid_mask(x, vh, vw)  # shared input of all dilated heads
 
         scores = None
         for k, dil in enumerate(self.head_dilations, start=1):

@@ -197,7 +197,10 @@ def run_inference(
                 )
             ]
         else:
-            masks = predictor.predict_masks(images, sizes=sizes, scales=scales, smooth=args.smooth)
+            masks = predictor.predict_masks(
+                images, sizes=sizes, scales=scales, smooth=args.smooth,
+                canvas_bucket=int(getattr(args, "canvas_bucket", 32)),
+            )
         if args.output_dir:
             for img_id, mask in zip(ids, masks):
                 write_png(mask, osp.join(args.output_dir, img_id + ".png"))

@@ -161,15 +161,19 @@ def pipeline_neutrality(
     seed: int = 0,
 ):
     """Scales-mode device pipeline vs the serial host pipeline (VERDICT r2
-    item 5): mask agreement on photo-statistics inputs at production sizes
-    with a TRAINED model (pass a real checkpoint — random weights make the
-    argmax noise-dominated and the comparison meaningless).
+    item 5 / r3 item 5): mask agreement on photo-statistics inputs at
+    production sizes with a TRAINED model (pass a real checkpoint — random
+    weights make the argmax noise-dominated and the comparison meaningless).
 
     The device path runs each fractional scale on a static ceil(s*canvas)
-    forward canvas with the valid extent zero-masked beyond
-    (``inference.py:381-409``); the host path is the reference-exact serial
-    per-image pipeline (``test-ms-f.py:115-130``).  Their difference is a
-    border-perturbation class; this measures it.
+    forward canvas; since round 4 the valid-extent masking happens INSIDE
+    the net before every spatial op (``models/masking.py``), making the
+    canvas forward exact vs the per-shape host forward — the round-3 border
+    perturbation (0.9928 mean agreement) is gone by construction.  The host
+    leg here is the reference-exact serial per-image pipeline
+    (``test-ms-f.py:115-130``); residual disagreement is fp-reassociation
+    noise between scipy's zoom and the on-device matmul interpolation at
+    near-tied argmaxes.
     """
     from dsrg_tpu.data.synth import PROFILES, make_image
     from dsrg_tpu.tools._infer_common import load_predictor
@@ -212,6 +216,100 @@ def pipeline_neutrality(
     }
 
 
+def pipeline_miou_study(
+    model_path: str,
+    data_root: str,
+    work_dir: str,
+    scales=(0.75, 1.0, 1.25),
+    smooth: bool = True,
+    model_name: str = "vgg16",
+    batch: int = 8,
+    num_classes: int = 21,
+    bucket: int = 64,
+    canvas_bucket: int = 512,
+):
+    """Device-vs-host final-eval mIoU on a val set with ground truth
+    (VERDICT r3 item 5): run the test-ms-f workload over ``data_root``'s
+    ``val_id.txt`` once per pipeline, evaluate both prediction sets against
+    ``SegmentationClass``, and report the two mIoUs, their delta, and the
+    per-image mask agreement.
+
+    ``data_root`` is a synth_check-layout dataset root (JPEGImages/,
+    SegmentationClass/, val_id.txt) — pass the probe-training dataset so the
+    checkpoint's statistics match the images.  The host leg is the recipe's
+    default batched host path (``--pipeline host``), the device leg the
+    whole-pipeline device program (``--pipeline device``); both now run the
+    SAME exact masked-canvas forward (``models/masking.py``), so the delta
+    isolates the remaining CRF-canvas + fp differences.
+    """
+    import os.path as osp
+
+    from PIL import Image
+
+    from dsrg_tpu.tools import evaluate as evaluate_tool
+    from dsrg_tpu.tools._infer_common import build_arg_parser, run_inference
+
+    ids_file = osp.join(data_root, "val_id.txt")
+    out = {
+        "geometry": f"scales {list(scales)}, smooth={smooth}, batch {batch}",
+        "val_ids": ids_file,
+    }
+    pred_dirs = {}
+    for pipeline in ("host", "device"):
+        pred_dir = osp.join(work_dir, f"preds_{pipeline}")
+        argv = [
+            "--images", ids_file, "--dir", data_root, "--model", model_path,
+            "--output", pred_dir, "--batch", str(batch),
+            "--model-name", model_name, "--pipeline", pipeline,
+            "--num-classes", str(num_classes),
+            # bucketed forwards are EXACT with the masked canvas (tested in
+            # test_masked_forward.py) and bound the remote-compile count on
+            # variable-size val sets to a handful of shapes per pipeline
+            "--bucket", str(bucket), "--canvas-bucket", str(canvas_bucket),
+        ] + (["--smooth"] if smooth else [])
+        t0 = time.perf_counter()
+        run_inference(build_arg_parser("").parse_args(argv), scales=list(scales))
+        wall = time.perf_counter() - t0
+        result_path = osp.join(work_dir, f"result_{pipeline}.txt")
+        evaluate_tool.main([
+            "--pred", pred_dir, "--gt", osp.join(data_root, "SegmentationClass"),
+            "--test_ids", ids_file, "--save_path", result_path,
+            "--class_num", str(num_classes),
+        ])
+        miou = float(open(result_path).read().splitlines()[0].split()[1])
+        out[f"miou_{pipeline}"] = round(miou, 5)
+        # honest variant: mean over bg + fg classes PRESENT in the val gt
+        # (the reference evaluator averages 0/0=nan classes on small sets)
+        from dsrg_tpu.tools.synth_check import _miou_fg
+
+        out[f"miou_honest_{pipeline}"] = _miou_fg(
+            data_root, pred_dir, n_classes=num_classes
+        )["miou3"]
+        out[f"wall_s_{pipeline}"] = round(wall, 1)
+        pred_dirs[pipeline] = pred_dir
+
+    ids = [ln.strip() for ln in open(ids_file) if ln.strip()]
+    agree = [
+        float(
+            np.mean(
+                np.asarray(Image.open(osp.join(pred_dirs["host"], i + ".png")))
+                == np.asarray(Image.open(osp.join(pred_dirs["device"], i + ".png")))
+            )
+        )
+        for i in ids
+    ]
+    out["miou_delta_device_minus_host"] = round(
+        out["miou_device"] - out["miou_host"], 5
+    )
+    out["miou_honest_delta_device_minus_host"] = round(
+        out["miou_honest_device"] - out["miou_honest_host"], 5
+    )
+    out["mask_agreement_mean"] = round(float(np.mean(agree)), 6)
+    out["mask_agreement_min"] = round(float(np.min(agree)), 6)
+    out["n_val"] = len(ids)
+    return out
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--images", type=int, default=3)
@@ -220,11 +318,37 @@ def main(argv=None) -> None:
     p.add_argument("--pipeline-study", action="store_true",
                    help="scales-mode device-vs-host pipeline mask agreement "
                         "(requires --model)")
+    p.add_argument("--miou-study", action="store_true",
+                   help="device-vs-host final-eval mIoU delta on a val set "
+                        "with GT (requires --model and --data-root)")
     p.add_argument("--model", default=None, help="trained params checkpoint")
+    p.add_argument("--data-root", default=None,
+                   help="synth_check-layout dataset root for --miou-study")
+    p.add_argument("--work-dir", default="/tmp/pipe_miou",
+                   help="prediction/result output dir for --miou-study")
+    p.add_argument("--no-smooth", action="store_true",
+                   help="--miou-study: skip the CRF smoothing pass")
+    p.add_argument("--batch", type=int, default=8)
     p.add_argument("--model-name", default="vgg16",
                    choices=["vgg16", "resnet101"])
     p.add_argument("--scales", type=float, nargs="+", default=[0.75, 1.0, 1.25])
     args = p.parse_args(argv)
+
+    if args.miou_study:
+        if not (args.model and args.data_root):
+            p.error("--miou-study requires --model and --data-root")
+        import os
+
+        os.makedirs(args.work_dir, exist_ok=True)
+        report = {
+            "pipeline_miou": pipeline_miou_study(
+                args.model, args.data_root, args.work_dir,
+                scales=args.scales, smooth=not args.no_smooth,
+                model_name=args.model_name, batch=args.batch,
+            )
+        }
+        print(json.dumps(report, indent=2))
+        return
 
     if args.pipeline_study:
         if not args.model:

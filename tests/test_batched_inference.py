@@ -99,12 +99,14 @@ def _np_rows(out_cap, in_cap, iv, ov):
 
 
 def test_device_pipeline_scales_matches_numpy_oracle():
-    """Fractional-scales mode (test-ms-f semantics): each scale forwards on a
-    static 8k+1 canvas >= ceil(s*cap) with a dynamic round(s*dim) valid
-    extent, zero-masked beyond.  The padded-context perturbation itself is a
-    documented border effect (same class as the batched host canvas), so the
-    machinery — dynamic zoom rows, masking, score-grid crop, upsample — is
-    validated against an independent numpy oracle of the same semantics."""
+    """Fractional-scales mode (test-ms-f semantics): each scale forwards on
+    a static 8k+1 canvas with a dynamic round(s*dim) valid extent, masked
+    INSIDE the net before every spatial op — exact vs running at the scaled
+    image's true size (models/masking.py; round-3's border perturbation is
+    gone).  The oracle therefore builds each scale with independent numpy
+    zoom rows, forwards at the EXACT scaled size, crops the score grid with
+    the host rule, and upsamples — validating the dynamic interp + masked
+    forward + crop + fusion chain end to end."""
     from dsrg_tpu.data.voc import BGR_MEAN
 
     predictor = _predictor()
@@ -115,33 +117,22 @@ def test_device_pipeline_scales_matches_numpy_oracle():
         images, scales=scales, smooth=False, canvas_bucket=16
     )
 
-    def bucket16(v):
-        return -(-v // 16) * 16
-
-    ph = bucket16(max(im.shape[0] for im in images))
-    pw = bucket16(max(im.shape[1] for im in images))
-
-    def cap8(v):
-        return int(-(-(int(np.ceil(v)) - 1) // 8) * 8 + 1)
-
     for im, md in zip(images, dev):
         h, w = im.shape[:2]
         bgr = im[:, :, ::-1].astype(np.float32) - BGR_MEAN
         scores = 0.0
         for s in scales:
-            fh, fw = cap8(s * ph), cap8(s * pw)
             vh, vw = int(round(s * h)), int(round(s * w))
-            xs = np.zeros((fh, fw, 3), np.float32)
-            rh = _np_rows(fh, h, h, vh)[:vh]
-            rw = _np_rows(fw, w, w, vw)[:vw]
+            rh = _np_rows(vh, h, h, vh)
+            rw = _np_rows(vw, w, w, vw)
             t = np.einsum("oh,hwc->owc", rh, bgr)  # (vh, w, 3)
-            xs[:vh, :vw] = np.einsum("pw,owc->opc", rw, t)
+            xs = np.einsum("pw,owc->opc", rw, t)  # (vh, vw, 3)
             sc = np.asarray(
                 predictor._fwd(predictor.variables, jnp.asarray(xs[None]))
             )[0].astype(np.float32)
             sv_h, sv_w = (vh - 1) // 8 + 1, (vw - 1) // 8 + 1
-            uh = _np_rows(ph, sc.shape[0], sv_h, h)[:h]
-            uw = _np_rows(pw, sc.shape[1], sv_w, w)[:w]
+            uh = _np_rows(h, sc.shape[0], sv_h, h)
+            uw = _np_rows(w, sc.shape[1], sv_w, w)
             up = np.einsum("ph,hwc->pwc", uh, sc)
             up = np.einsum("qw,pwc->pqc", uw, up)
             scores = scores + up
