@@ -127,6 +127,13 @@ class Predictor:
         )
         self._dev_ms_cache: dict = {}
 
+    @property
+    def exact_canvas(self) -> bool:
+        """True when the model takes ``valid_hw`` (both in-tree backbones):
+        shared-canvas forwards are then exact vs per-shape execution, so the
+        eval CLIs' ``--pipeline auto`` may batch fractional scales too."""
+        return self._exact_canvas
+
     def _pad_size(self, s: int) -> int:
         if self.bucket == 1:
             return s

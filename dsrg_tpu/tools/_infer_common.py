@@ -78,9 +78,12 @@ def build_arg_parser(description: str) -> argparse.ArgumentParser:
                         "pass (resize/forward/fuse/CRF/argmax) as one device "
                         "program per chunk, uint8 in/out — fastest over slow "
                         "host<->device links; host = per-stage host round "
-                        "trips. auto = device for absolute sizes (reference-"
-                        "exact there), host for fractional scales (whose "
-                        "device forwards pad to a shared per-scale canvas).")
+                        "trips. auto = device whenever batched: absolute "
+                        "sizes are reference-exact, and fractional scales "
+                        "mask the shared per-scale canvas inside the net "
+                        "(exact vs per-shape forwards for the in-tree "
+                        "backbones; custom models without valid_hw keep the "
+                        "host path under auto).")
     return p
 
 
@@ -108,15 +111,22 @@ def load_predictor(
     )
 
 
-def resolve_pipeline(args, sizes, scales):
+def resolve_pipeline(args, sizes, scales, exact_canvas: bool = True):
     """(engine, chunk, pipeline, use_device) from the shared CLI flags.
 
     One dispatch rule for every eval tool: a non-mmgrid CRF engine only
     matters under ``--smooth`` and then forces serial per-image inference
     (the batched/device CRF is the masked matmul grid) — contradicting an
     explicit ``--pipeline device`` is an error rather than a silent
-    downgrade.  The device pipeline runs for absolute sizes whenever
-    batched, and for fractional scales only on explicit opt-in."""
+    downgrade.  The device pipeline runs whenever batched: absolute sizes
+    are reference-exact forwards, and fractional scales are exact too when
+    the model masks its canvas internally (``exact_canvas`` — true for both
+    in-tree backbones via ``valid_hw``, ``models/masking.py``; residual
+    device-vs-host difference is fp reassociation at near-tied argmaxes,
+    measured at zero mIoU delta by ``neutrality_study --miou-study``).
+    Models without that contract keep the host path for scales under
+    ``auto`` because their canvas forward would carry a border perturbation.
+    """
     engine = getattr(args, "engine", "auto")
     chunk = max(int(getattr(args, "batch", 1)), 1)
     pipeline = getattr(args, "pipeline", "auto")
@@ -128,7 +138,8 @@ def resolve_pipeline(args, sizes, scales):
             )
         chunk = 1
     use_device = pipeline != "host" and (
-        sizes is not None or (pipeline == "device" and scales is not None)
+        sizes is not None
+        or (scales is not None and (pipeline == "device" or exact_canvas))
     ) and (chunk > 1 or pipeline == "device")
     return engine, chunk, pipeline, use_device
 
@@ -153,7 +164,9 @@ def run_inference(
         _, image_ids = watchdog.split_existing(
             image_ids, lambda i: osp.join(args.output_dir, i + ".png")
         )
-    engine, chunk, pipeline, use_device = resolve_pipeline(args, sizes, scales)
+    engine, chunk, pipeline, use_device = resolve_pipeline(
+        args, sizes, scales, exact_canvas=predictor.exact_canvas
+    )
 
     rss_limit, stall = watchdog.arm(args, persist=bool(args.output_dir),
                                     describe="inference-chunk")

@@ -63,7 +63,9 @@ def run_coco(args, sizes=None, scales=None) -> float:
 
     from dsrg_tpu.tools._infer_common import resolve_pipeline
 
-    engine, chunk, pipeline, use_device = resolve_pipeline(args, sizes, scales)
+    engine, chunk, pipeline, use_device = resolve_pipeline(
+        args, sizes, scales, exact_canvas=predictor.exact_canvas
+    )
 
     def rgb_rows():
         for row in rows:

@@ -216,6 +216,19 @@ def test_resolve_pipeline_contract():
         parse(["--batch", "1", "--pipeline", "device"]), None, [1.0])
     assert dev  # explicit device honored even serial
 
+    # fractional scales under auto: device when the model's canvas forward
+    # is exact (valid_hw backbones), host fallback otherwise
+    _, _, _, dev = resolve_pipeline(
+        parse(["--batch", "8"]), None, [0.75], exact_canvas=True)
+    assert dev
+    _, _, _, dev = resolve_pipeline(
+        parse(["--batch", "8"]), None, [0.75], exact_canvas=False)
+    assert not dev
+    _, _, _, dev = resolve_pipeline(
+        parse(["--batch", "8", "--pipeline", "host"]), None, [0.75],
+        exact_canvas=True)
+    assert not dev  # explicit host always honored
+
 
 def test_predict_masks_device_requires_one_mode():
     import pytest as _pytest
