@@ -27,6 +27,7 @@ import numpy as np
 from scipy.ndimage import zoom as ndzoom
 
 from dsrg_tpu.data.voc import BGR_MEAN
+from dsrg_tpu.models.masking import valid_mask
 from dsrg_tpu.ops.crf import CRF
 
 EPS = 1e-5  # probability floor (test-ms.py:102-103)
@@ -385,9 +386,7 @@ class Predictor:
                         # fallback for models without valid_hw: zero the
                         # (mean-subtracted) input canvas beyond the valid
                         # extent — first-conv border context only
-                        rh = jnp.arange(fh, dtype=jnp.float32)[None, :] < vh[:, None]
-                        rw = jnp.arange(fw, dtype=jnp.float32)[None, :] < vw[:, None]
-                        xs = xs * (rh[:, :, None] & rw[:, None, :])[..., None]
+                        xs = xs * valid_mask(fh, fw, vh, vw).astype(xs.dtype)
                     sc = model.apply(variables, xs, train=False).astype(jnp.float32)
                 # score-canvas caps come from the traced output shape (exact
                 # for any Caffe ceil-pooling geometry, not just 8k+1 inputs);

@@ -111,7 +111,7 @@ def load_predictor(
     )
 
 
-def resolve_pipeline(args, sizes, scales, exact_canvas: bool = True):
+def resolve_pipeline(args, sizes, scales, exact_canvas: bool = False):
     """(engine, chunk, pipeline, use_device) from the shared CLI flags.
 
     One dispatch rule for every eval tool: a non-mmgrid CRF engine only
@@ -125,7 +125,9 @@ def resolve_pipeline(args, sizes, scales, exact_canvas: bool = True):
     device-vs-host difference is fp reassociation at near-tied argmaxes,
     measured at zero mIoU delta by ``neutrality_study --miou-study``).
     Models without that contract keep the host path for scales under
-    ``auto`` because their canvas forward would carry a border perturbation.
+    ``auto`` because their canvas forward would carry a border perturbation
+    — ``exact_canvas`` therefore defaults to the safe False; callers pass
+    ``predictor.exact_canvas``.
     """
     engine = getattr(args, "engine", "auto")
     chunk = max(int(getattr(args, "batch", 1)), 1)

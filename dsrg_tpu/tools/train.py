@@ -359,6 +359,15 @@ def main(argv=None) -> None:
         if (n_proc == 1 or args.rss_limit_gb > 0)
         else 0.0
     )
+    if n_proc > 1 and rss_limit <= 0:
+        print(
+            "WARNING: multi-host run with NO host-RSS watchdog — the tunnel "
+            "TPU client leaks host memory ~1:1 with bytes transferred "
+            "(~80 GB/h at production rates); a multi-hour run WILL be "
+            "OOM-killed mid-collective.  Pass --rss-limit-gb N under a "
+            "supervisor that relaunches ALL processes on exit code 75.",
+            flush=True,
+        )
     stall = watchdog.StallWatchdog(args.stall_limit_min * 60.0,
                                    describe="training-step")
     logger = MetricLogger(args.metrics_log if is_primary else None,
