@@ -111,6 +111,33 @@ def load_predictor(
     )
 
 
+def preview_mask(image_rgb: np.ndarray, mask: np.ndarray, num_classes: int) -> None:
+    """Interactive (image | mask) preview — the reference test tools' no-
+    ``--output`` behavior (``training/tools/test-ms.py:130-139``: ``plt.show``
+    of the image beside the VOC-colormapped mask).  Headless backends (Agg)
+    make ``plt.show`` a no-op, so scripted runs without a display just
+    continue; missing matplotlib degrades to a notice rather than an error."""
+    try:
+        import matplotlib.pyplot as plt
+        from matplotlib.colors import ListedColormap
+    except Exception:  # pragma: no cover - matplotlib is in the base env
+        print("(no matplotlib: pass --output to write pngs)", flush=True)
+        return
+    from dsrg_tpu.utils.palette import VOC_PALETTE
+
+    pal = np.asarray(VOC_PALETTE, np.float64) / 255.0
+    cmap = ListedColormap(pal[: max(num_classes, 2)])
+    fig = plt.figure()
+    ax = fig.add_subplot(1, 2, 1)
+    ax.imshow(image_rgb)
+    ax.set_axis_off()
+    ax = fig.add_subplot(1, 2, 2)
+    ax.matshow(mask, vmin=0, vmax=num_classes, cmap=cmap)
+    ax.set_axis_off()
+    plt.show()
+    plt.close(fig)
+
+
 def resolve_pipeline(args, sizes, scales, exact_canvas: bool = False):
     """(engine, chunk, pipeline, use_device) from the shared CLI flags.
 
@@ -178,6 +205,13 @@ def run_inference(
 
     def _load(i):
         return np.asarray(Image.open(osp.join(data_dir, i + ".jpg")).convert("RGB"))
+
+    def _emit(img_id, image, mask):
+        if args.output_dir:
+            write_png(mask, osp.join(args.output_dir, img_id + ".png"))
+        else:
+            preview_mask(image, mask, args.num_classes)
+
     if use_device:
         # device-resident streaming pipeline: uint8 canvases up, uint8 masks
         # down, one chunk in flight; reference-exact for absolute sizes
@@ -190,10 +224,9 @@ def run_inference(
             smooth=args.smooth,
             canvas_bucket=int(getattr(args, "canvas_bucket", 32)),
         )
-        for n, (img_id, (_, mask)) in enumerate(zip(image_ids, stream)):
+        for n, (img_id, (img, mask)) in enumerate(zip(image_ids, stream)):
             print(n, img_id, flush=True)
-            if args.output_dir:
-                write_png(mask, osp.join(args.output_dir, img_id + ".png"))
+            _emit(img_id, img, mask)
             stall.tick()
             if (n + 1) % max(chunk, 1) == 0:
                 _maybe_restart(n + 1)
@@ -216,9 +249,8 @@ def run_inference(
                 images, sizes=sizes, scales=scales, smooth=args.smooth,
                 canvas_bucket=int(getattr(args, "canvas_bucket", 32)),
             )
-        if args.output_dir:
-            for img_id, mask in zip(ids, masks):
-                write_png(mask, osp.join(args.output_dir, img_id + ".png"))
+        for img_id, image, mask in zip(ids, images, masks):
+            _emit(img_id, image, mask)
         stall.tick()
         _maybe_restart(start + len(ids))
     stall.close()

@@ -248,3 +248,19 @@ def test_predict_masks_device_requires_one_mode():
         p.predict_masks_device([img])
     with _pytest.raises(ValueError):
         p.predict_masks_device([img], sizes=[41], scales=[1.0])
+
+
+def test_preview_mask_headless_noop():
+    """Reference parity: test tools without --output show an interactive
+    (image | mask) figure (test-ms.py:130-139).  Headless (Agg) must be a
+    silent no-op so scripted runs without a display continue."""
+    import matplotlib
+
+    matplotlib.use("Agg", force=True)
+    from dsrg_tpu.tools._infer_common import preview_mask
+
+    preview_mask(
+        np.zeros((20, 30, 3), np.uint8),
+        np.zeros((20, 30), np.uint8),
+        num_classes=21,
+    )
