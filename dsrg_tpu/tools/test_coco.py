@@ -51,6 +51,18 @@ def run_coco(args, sizes=None, scales=None) -> float:
     def score(index, row, mask):
         if args.output_dir:
             write_png(mask, _out_path(row))
+        else:
+            # reference parity: no --output shows an interactive preview
+            # (test-coco.py:175-183); image reloaded — the rare interactive
+            # case, keeping the hot streaming path image-free
+            from dsrg_tpu.tools._infer_common import preview_mask
+
+            preview_mask(
+                np.asarray(
+                    Image.open(osp.join(args.data_dir, row[0])).convert("RGB")
+                ),
+                mask, args.num_classes,
+            )
         if has_gt:
             gt = read_mask_png(osp.join(args.data_dir, row[1]))
             conf.add(gt, mask)
