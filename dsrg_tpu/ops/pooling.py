@@ -29,8 +29,9 @@ def _caffe_pool_geometry(size: int, k: int, s: int, p: int):
     return out, (p, pad_high)
 
 
-def caffe_max_pool(x: jnp.ndarray, k: int = 3, stride: int = 2, pad: int = 1) -> jnp.ndarray:
-    """(B, H, W, C) max pooling with Caffe output-size semantics."""
+def _max_pool_2d(x: jnp.ndarray, k: int, stride: int, pad: int) -> jnp.ndarray:
+    """Single 2-D windowed reduce (the textbook formulation, kept as the
+    oracle for the separable fast path below and for profiling its VJP)."""
     h, w = x.shape[1], x.shape[2]
     _, ph = _caffe_pool_geometry(h, k, stride, pad)
     _, pw = _caffe_pool_geometry(w, k, stride, pad)
@@ -41,6 +42,38 @@ def caffe_max_pool(x: jnp.ndarray, k: int = 3, stride: int = 2, pad: int = 1) ->
         window_dimensions=(1, k, k, 1),
         window_strides=(1, stride, stride, 1),
         padding=((0, 0), ph, pw, (0, 0)),
+    )
+
+
+def caffe_max_pool(x: jnp.ndarray, k: int = 3, stride: int = 2, pad: int = 1) -> jnp.ndarray:
+    """(B, H, W, C) max pooling with Caffe output-size semantics.
+
+    Computed SEPARABLY — a 1-D column max then a 1-D row max — because max
+    over a k x k window factors exactly, and on TPU the backward of each 1-D
+    reduce_window is a k-element SelectAndScatter scan instead of the 2-D
+    k^2-element one (and the second pass runs on the already-shrunk
+    intermediate).  Measured on the five pools of the batch-20 @ 321^2
+    stage-1 step: fwd+bwd 14.5 ms (2-D) -> see STATUS.md (separable), with
+    bit-identical forwards AND gradients: 1-D SAS routes each window's
+    cotangent to its first row-max, then to the first column max within that
+    row — exactly the 2-D GE-select scan order (and Caffe's stored first
+    argmax, ``PoolingLayer::Backward_cpu``).  Pinned incl. ties by
+    ``tests/test_model.py::test_max_pool_separable_matches_2d``.
+    """
+    h, w = x.shape[1], x.shape[2]
+    _, ph = _caffe_pool_geometry(h, k, stride, pad)
+    _, pw = _caffe_pool_geometry(w, k, stride, pad)
+    y = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, 1, k, 1),
+        window_strides=(1, 1, stride, 1),
+        padding=((0, 0), (0, 0), pw, (0, 0)),
+    )
+    return jax.lax.reduce_window(
+        y, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, k, 1, 1),
+        window_strides=(1, stride, 1, 1),
+        padding=((0, 0), ph, (0, 0), (0, 0)),
     )
 
 

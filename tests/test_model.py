@@ -31,6 +31,59 @@ def test_caffe_max_pool_values():
     np.testing.assert_array_equal(out[0, :, :, 0], expect)
 
 
+def test_max_pool_separable_matches_2d():
+    """Separable (1-D col + 1-D row) pooling == the single 2-D reduce_window,
+    forward AND backward, exactly.
+
+    The forward factors because max does; the backward matches because both
+    route each window's cotangent to the FIRST max in row-major scan order
+    (two chained 1-D GE-select scans compose to the 2-D scan order, which is
+    also Caffe's stored-argmax backward), so gradients must agree even under
+    ties.  Integer-valued inputs/cotangents make every float sum exact, so
+    the comparison is bit-level despite accumulation-order differences."""
+    from dsrg_tpu.ops.pooling import _max_pool_2d
+
+    rng = np.random.default_rng(7)
+    for h, w, stride in [(9, 11, 2), (8, 8, 2), (7, 9, 1), (41, 41, 1)]:
+        # small-integer values: tie-heavy (incl. the all-zero ReLU case)
+        x = rng.integers(0, 4, size=(2, h, w, 3)).astype(np.float32)
+        ct = rng.integers(1, 5, size=caffe_max_pool(jnp.asarray(x), 3, stride, 1).shape).astype(np.float32)
+
+        y_sep = np.asarray(caffe_max_pool(jnp.asarray(x), 3, stride, 1))
+        y_2d = np.asarray(_max_pool_2d(jnp.asarray(x), 3, stride, 1))
+        np.testing.assert_array_equal(y_sep, y_2d)
+
+        def loss_sep(v):
+            return (caffe_max_pool(v, 3, stride, 1) * ct).sum()
+
+        def loss_2d(v):
+            return (_max_pool_2d(v, 3, stride, 1) * ct).sum()
+
+        g_sep = np.asarray(jax.grad(loss_sep)(jnp.asarray(x)))
+        g_2d = np.asarray(jax.grad(loss_2d)(jnp.asarray(x)))
+        np.testing.assert_array_equal(g_sep, g_2d)
+        # conservation: every window routes its full cotangent somewhere
+        assert g_sep.sum() == ct.sum()
+
+
+def test_max_pool_separable_bfloat16():
+    """The production dtype path: bf16 activations, bf16 cotangents."""
+    from dsrg_tpu.ops.pooling import _max_pool_2d
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.integers(0, 8, size=(2, 13, 13, 4)).astype(np.float32)).astype(jnp.bfloat16)
+
+    def loss_sep(v):
+        return caffe_max_pool(v, 3, 2, 1).astype(jnp.float32).sum()
+
+    def loss_2d(v):
+        return _max_pool_2d(v, 3, 2, 1).astype(jnp.float32).sum()
+
+    g_sep = np.asarray(jax.grad(loss_sep)(x).astype(jnp.float32))
+    g_2d = np.asarray(jax.grad(loss_2d)(x).astype(jnp.float32))
+    np.testing.assert_array_equal(g_sep, g_2d)
+
+
 def test_caffe_avg_pool_divisor_includes_pad():
     # 3x3/1 pad 1: every divisor is 9; sums cover real pixels only
     v = np.ones((1, 4, 4, 1), np.float32)

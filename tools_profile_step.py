@@ -117,7 +117,9 @@ def main(argv=None):
     ap.add_argument("--phases", nargs="+", default=[
         "conv_fwd", "shift_fwd", "shift_batched_fwd", "gemm36", "model_fwd",
         "conv_fwdbwd", "shift_fwdbwd", "shift_batched_fwdbwd",
-    ], help="measurements to run, cheap/safe first")
+    ], help="measurements to run, cheap/safe first; also available: "
+            "model_fwdbwd, model_fwdbwd_train, pools_fwdbwd (where the "
+            "non-head step time goes)")
     args = ap.parse_args(argv)
 
     import jax
@@ -137,6 +139,29 @@ def main(argv=None):
 
     eb, ec = check_equivalence()
     print(f"equivalence ok: shift {eb:.2e}, batched {ec:.2e}", flush=True)
+
+    def _device_ms_args(make_body, args, reps=10, outer=3):
+        """Like bench._device_ms, but ``args`` enter as jit ARGUMENTS.
+
+        Closure-captured arrays become HLO constants; past a few hundred MB
+        the tunnel's remote-compile endpoint rejects the program (HTTP 413),
+        and constants also dodge donation.  Passing them as arguments keeps
+        the program small."""
+
+        def loop(*a):
+            def body(_, acc):
+                return make_body(acc, *a)
+
+            return jax.lax.fori_loop(0, reps, body, 0.0)
+
+        f = jax.jit(loop)
+        float(f(*args))
+        times = []
+        for _ in range(outer):
+            t0 = time.perf_counter()
+            float(f(*args))
+            times.append(time.perf_counter() - t0)
+        return min(times) / reps * 1000.0
 
     B, S, C, O = 20, 41, 512, 1024
     rng = np.random.default_rng(0)
@@ -161,8 +186,15 @@ def main(argv=None):
         )
 
     def fwdbwd_ms(fn, reps=15):
+        # loss = mean(y^2), NOT mean(y): a mean's cotangent is a constant,
+        # which lets XLA algebraically collapse both backward convs (grad_x
+        # of conv with a constant cotangent is a precomputed weight sum;
+        # grad_w likewise reduces to activation sums) — the measured
+        # "fwd+bwd" then costs the same as fwd alone.  Squaring makes the
+        # cotangent 2y, data-dependent, so the backward convs are real.
         g = jax.grad(
-            lambda xx, ww: fn(xx, ww).astype(jnp.float32).mean(), argnums=(0, 1)
+            lambda xx, ww: jnp.square(fn(xx, ww).astype(jnp.float32)).mean(),
+            argnums=(0, 1),
         )
 
         def body(acc):
@@ -172,7 +204,22 @@ def main(argv=None):
         return _device_ms(body, reps=reps)
 
     for phase in args.phases:
-        if phase.endswith("_fwdbwd"):
+        if phase == "conv_fwdbwd_args":
+            # methodology calibration: the same measurement as conv_fwdbwd
+            # but with operands as jit arguments instead of closure constants
+            g = jax.grad(
+                lambda xx, ww: jnp.square(
+                    heads_fc6_conv(xx, ww).astype(jnp.float32)
+                ).mean(),
+                argnums=(0, 1),
+            )
+
+            def body(acc, xx, ww):
+                gx, gw = g(xx + acc.astype(xx.dtype) * 1e-30, ww)
+                return gx.astype(jnp.float32).mean() + gw.astype(jnp.float32).mean()
+
+            emit(phase, _device_ms_args(body, (x, ws), reps=15))
+        elif phase.endswith("_fwdbwd") and phase[: -len("_fwdbwd")] in fns:
             emit(phase, fwdbwd_ms(fns[phase[: -len("_fwdbwd")]]))
         elif phase in ("conv_fwd", "shift_fwd", "shift_batched_fwd"):
             emit(phase, fwd_ms(fns[phase[: -len("_fwd")]]))
@@ -192,6 +239,71 @@ def main(argv=None):
                 ).astype(jnp.float32).mean(),
                 reps=20,
             ))
+        elif phase in ("model_fwdbwd", "model_fwdbwd_train"):
+            # full-model fwd + grad-to-params (the train step minus CRF/grow/
+            # losses/update); _train adds the 8 dropout masks' RNG cost
+            from dsrg_tpu.models import DeepLabLargeFOV
+
+            model = DeepLabLargeFOV(num_classes=21, compute_dtype=jnp.bfloat16)
+            xi = jnp.asarray(
+                rng.normal(size=(B, 321, 321, 3)).astype(np.float32) * 40
+            )
+            variables = model.init(
+                {"params": jax.random.PRNGKey(0)}, xi[:1], train=False
+            )
+            train = phase.endswith("_train")
+            rngs = {"dropout": jax.random.PRNGKey(1)} if train else None
+
+            def loss(params, xx):
+                y = model.apply(
+                    {"params": params}, xx, train=train, rngs=rngs
+                ).astype(jnp.float32)
+                return jnp.square(y).mean()
+
+            g = jax.grad(loss)
+
+            def body(acc, params, xx):
+                gp = g(params, xx + acc * 1e-30)
+                leaves = jax.tree_util.tree_leaves(gp)
+                return sum(l.astype(jnp.float32).mean() for l in leaves)
+
+            emit(phase, _device_ms_args(body, (variables["params"], xi), reps=10))
+        elif phase in ("pools_fwdbwd", "pools_fwdbwd_sas"):
+            # the 5 Caffe max pools' fwd+bwd alone, shapes as they occur in
+            # the batch-20 @ 321^2 step.  _sas forces the single 2-D
+            # reduce_window whose VJP is one 9-element SelectAndScatter per
+            # window (14.5 ms measured); the plain phase measures the shipped
+            # separable two-pass pooling (two 3-element 1-D SAS).  A dense
+            # pad/shift routing backward was also tried and measured 114.9 ms
+            # — 8x WORSE than SAS — and was dropped.
+            from dsrg_tpu.ops.pooling import _max_pool_2d, caffe_max_pool
+
+            if phase.endswith("_sas"):
+                caffe_max_pool = _max_pool_2d
+
+            shapes = [  # (H, C, stride) per pool1..pool5
+                (321, 64, 2), (161, 128, 2), (81, 256, 2),
+                (41, 512, 1), (41, 512, 1),
+            ]
+            xs = [
+                jnp.asarray(rng.normal(size=(B, s, s, c)).astype(np.float32)).astype(jnp.bfloat16)
+                for s, c, _ in shapes
+            ]
+
+            def loss(inputs):
+                tot = 0.0
+                for xi_, (_, _, st) in zip(inputs, shapes):
+                    y = caffe_max_pool(xi_, 3, st, 1).astype(jnp.float32)
+                    tot = tot + jnp.square(y).mean()
+                return tot
+
+            g = jax.grad(loss)
+
+            def body(acc, inputs):
+                gs = g([xi_ + acc.astype(xi_.dtype) * 1e-30 for xi_ in inputs])
+                return sum(gg.astype(jnp.float32).mean() for gg in gs)
+
+            emit(phase, _device_ms_args(body, (xs,), reps=10))
         elif phase == "gemm36":
             # equivalent-FLOP plain GEMM chain: the MXU floor for the fc6
             # math (M = B*41^2 = 33620, K = 512, N = 1024) x 36
