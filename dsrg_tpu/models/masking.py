@@ -36,8 +36,10 @@ v -> floor((v + 2p - k)/s) + 1.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -55,6 +57,33 @@ def apply_valid_mask(
     if vh is None:
         return x
     return x * valid_mask(x.shape[1], x.shape[2], vh, vw).astype(x.dtype)
+
+
+def masked_pool_input(
+    x: jnp.ndarray, vh: Optional[jnp.ndarray], vw: Optional[jnp.ndarray]
+) -> jnp.ndarray:
+    """Mask ``x`` as the input of a following Caffe MAX pool.
+
+    EXACTNESS INVARIANT: the masked-canvas forward equals the exact-size
+    forward for MAX pooling only when the pool input is non-negative
+    (post-ReLU) — masked zeros then never beat a real activation that a
+    clipped exact-size window would also keep (module docstring above).
+    Every max-pool input in the shipped model families is post-ReLU; a
+    future architecture that pools a *signed* activation through this path
+    would be silently border-perturbed while reporting exactness.  Set
+    ``DSRG_CHECK_MASKING=1`` to verify the invariant at runtime (host
+    debug callback) so such a violation fails loudly instead.
+    """
+    if vh is not None and os.environ.get("DSRG_CHECK_MASKING"):
+        def _check(xmin):
+            if not xmin >= 0:
+                raise AssertionError(
+                    f"masked-canvas MAX pool input has negative values "
+                    f"(min={xmin}); exactness requires post-ReLU "
+                    f"(non-negative) pool inputs — see models/masking.py"
+                )
+        jax.debug.callback(_check, jnp.min(x.astype(jnp.float32)))
+    return apply_valid_mask(x, vh, vw)
 
 
 def split_valid_hw(

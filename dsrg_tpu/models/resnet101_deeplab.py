@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from dsrg_tpu.models.masking import (
     apply_valid_mask,
+    masked_pool_input,
     conv_out_extent,
     pool_out_extent,
     split_valid_hw,
@@ -120,7 +121,7 @@ class ResNet101DeepLab(nn.Module):
         x = nn.relu(x)
         if vh is not None:
             vh, vw = conv_out_extent(vh, 7, 2, 3), conv_out_extent(vw, 7, 2, 3)
-        x = caffe_max_pool(apply_valid_mask(x, vh, vw), 3, 2, 1)
+        x = caffe_max_pool(masked_pool_input(x, vh, vw), 3, 2, 1)
         if vh is not None:
             vh, vw = pool_out_extent(vh), pool_out_extent(vw)
 

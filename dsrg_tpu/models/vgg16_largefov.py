@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from dsrg_tpu.models.masking import (
     apply_valid_mask,
+    masked_pool_input,
     pool_out_extent,
     split_valid_hw,
 )
@@ -96,7 +97,7 @@ class DeepLabLargeFOV(nn.Module):
                     name=f"{name}_{i}",
                 )(apply_valid_mask(x, vh, vw))
                 x = nn.relu(x)
-            x = caffe_max_pool(apply_valid_mask(x, vh, vw), 3, pstride, 1)
+            x = caffe_max_pool(masked_pool_input(x, vh, vw), 3, pstride, 1)
             if pstride == 2 and vh is not None:
                 vh, vw = pool_out_extent(vh), pool_out_extent(vw)
         x = caffe_avg_pool(apply_valid_mask(x, vh, vw), 3, 1, 1)  # pool5a

@@ -36,7 +36,9 @@ def evaluate(pred_dir, gt_dir, test_ids_path, class_num):
     return conf
 
 
-def main(argv=None) -> None:
+def main(argv=None) -> float:
+    """Returns the mean IoU so in-process callers (synth_check,
+    neutrality_study) need not re-parse the result file's text format."""
     args = parse_args(argv)
     conf = evaluate(args.pred_dir, args.gt_dir, args.test_ids, args.class_num)
     ave_j, j_list, m = conf.jaccard()
@@ -45,6 +47,7 @@ def main(argv=None) -> None:
         f.write(str(j_list) + "\n")
         f.write(str(m) + "\n")
     print("meanIOU:", ave_j)
+    return float(ave_j)
 
 
 if __name__ == "__main__":

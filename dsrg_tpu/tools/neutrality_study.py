@@ -271,12 +271,11 @@ def pipeline_miou_study(
         run_inference(build_arg_parser("").parse_args(argv), scales=list(scales))
         wall = time.perf_counter() - t0
         result_path = osp.join(work_dir, f"result_{pipeline}.txt")
-        evaluate_tool.main([
+        miou = evaluate_tool.main([
             "--pred", pred_dir, "--gt", osp.join(data_root, "SegmentationClass"),
             "--test_ids", ids_file, "--save_path", result_path,
             "--class_num", str(num_classes),
         ])
-        miou = float(open(result_path).read().splitlines()[0].split()[1])
         out[f"miou_{pipeline}"] = round(miou, 5)
         # honest variant: mean over bg + fg classes PRESENT in the val gt
         # (the reference evaluator averages 0/0=nan classes on small sets)

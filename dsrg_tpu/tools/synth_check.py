@@ -277,14 +277,13 @@ def main(argv=None) -> float:
     )
 
     result_path = osp.join(args.work_dir, "result.txt")
-    evaluate_tool.main([
+    miou = evaluate_tool.main([
         "--pred", pred_dir,
         "--gt", osp.join(root, "SegmentationClass"),
         "--test_ids", osp.join(root, "val_id.txt"),
         "--save_path", result_path,
         "--class_num", "21",
     ])
-    miou = float(open(result_path).read().splitlines()[0].split()[1])
     out = {"synthetic_val_miou_refquirk": miou, "iters": args.iters,
            **_miou3(root, pred_dir)}
     print(json.dumps(out))

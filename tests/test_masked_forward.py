@@ -159,3 +159,26 @@ def test_bucketed_scores_match_exact():
     assert a.shape == b.shape
     scale = max(float(np.abs(a).max()), 1e-3)
     np.testing.assert_allclose(b, a, atol=2e-4 * scale, rtol=0)
+
+
+def test_masked_pool_input_debug_check(monkeypatch):
+    """DSRG_CHECK_MASKING=1 fails loudly on signed max-pool inputs (ADVICE r4):
+    masked-canvas exactness requires post-ReLU pool inputs."""
+    from dsrg_tpu.models.masking import masked_pool_input
+
+    vh = jnp.asarray([2.0])
+    vw = jnp.asarray([2.0])
+    pos = jnp.ones((1, 4, 4, 1), jnp.float32)
+    neg = pos.at[0, 0, 0, 0].set(-1.0)
+
+    # off by default: signed input passes silently (documented-only invariant)
+    monkeypatch.delenv("DSRG_CHECK_MASKING", raising=False)
+    masked_pool_input(neg, vh, vw).block_until_ready()
+
+    monkeypatch.setenv("DSRG_CHECK_MASKING", "1")
+    out = masked_pool_input(pos, vh, vw)
+    jax.effects_barrier()
+    assert float(out.sum()) == 4.0
+    with pytest.raises(Exception, match="negative|callback"):
+        masked_pool_input(neg, vh, vw).block_until_ready()
+        jax.effects_barrier()

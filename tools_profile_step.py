@@ -323,6 +323,10 @@ def main(argv=None):
                 return outv.astype(jnp.float32).mean()
 
             emit(phase, _device_ms(gemm_chain, reps=20))
+        else:
+            raise SystemExit(
+                f"unknown phase {phase!r} (known bases for *_fwdbwd: {sorted(fns)})"
+            )
 
 
 if __name__ == "__main__":
