@@ -19,12 +19,17 @@ from typing import Iterable, Iterator
 import jax
 import numpy as np
 
-from dsrg_tpu.parallel.mesh import pad_batch_to_multiple, shard_global_batch
+from dsrg_tpu.parallel.mesh import (
+    pad_batch_to_multiple,
+    pad_batch_to_rows,
+    shard_global_batch,
+)
 
 
 class PrefetchLoader:
     def __init__(self, dataset: Iterable[dict], mesh=None, prefetch: int = 2,
-                 half_images: bool = True, device_in_worker: bool = True):
+                 half_images: bool = True, device_in_worker: bool = True,
+                 pad_rows: int | None = None, n_valid: int | None = None):
         """``half_images``: transfer float 'images' tensors as float16 —
         halves host->device bytes (the train step casts back to f32/bf16;
         the ~0.1 absolute quantization on mean-subtracted pixels is far
@@ -33,11 +38,18 @@ class PrefetchLoader:
         ``device_in_worker``: issue the device_put from the worker thread
         (default) so the transfer overlaps the in-flight step; set False to
         keep the round-2 behavior of transferring in ``__next__``.
+
+        ``pad_rows``/``n_valid``: multi-host uneven-batch mode — pad every
+        local batch to EXACTLY ``pad_rows`` rows (this process's share of
+        the padded global batch) with only the first ``n_valid`` rows
+        unmasked; default (None) pads to the per-process device multiple.
         """
         self.dataset = dataset
         self.mesh = mesh
         self.half_images = half_images
         self.device_in_worker = device_in_worker
+        self.pad_rows = pad_rows
+        self.n_valid = n_valid
         self.queue: queue.Queue = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
@@ -52,9 +64,14 @@ class PrefetchLoader:
             # pad an uneven (local) batch to this process's device-shard
             # multiple and mark pad rows in 'pad_mask' (the steps mask them
             # out of losses/grads/metrics exactly) — lets the reference's
-            # batch 20/10 recipes shard over an 8-chip mesh
-            per_process = max(1, self.mesh.size // jax.process_count())
-            batch = pad_batch_to_multiple(batch, per_process)
+            # batch 20/10 recipes shard over an 8-chip mesh.  Multi-host
+            # uneven mode pads to the exact per-process row count instead
+            # (pad_rows), with n_valid real rows (possibly zero).
+            if self.pad_rows is not None:
+                batch = pad_batch_to_rows(batch, self.pad_rows, self.n_valid)
+            else:
+                per_process = max(1, self.mesh.size // jax.process_count())
+                batch = pad_batch_to_multiple(batch, per_process)
             return shard_global_batch(batch, self.mesh)
         return {k: jax.device_put(v) for k, v in batch.items()}
 

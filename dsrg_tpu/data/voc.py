@@ -102,19 +102,37 @@ class _EpochOrder:
         self._count = 0  # samples drawn so far (local, in multi-host mode)
         self._shard_index = 0
         self._shard_count = 1
+        self._start_row = None
+        self._global_batch = None
 
-    def configure_shard(self, shard_index: int, shard_count: int) -> None:
+    def configure_shard(
+        self,
+        shard_index: int,
+        shard_count: int,
+        start_row: int | None = None,
+        global_batch: int | None = None,
+    ) -> None:
         """Multi-host mode: serve only this process's contiguous slice of
         every GLOBAL batch.
 
         With ``batch_size`` set to the per-process local batch, local draw
-        ``(t, j)`` maps to global sample ``t*global_batch + shard*local + j``
-        — the same layout ``parallel.distributed.local_batch_slice`` assigns
-        to this process's devices, so every process reads a disjoint slice of
-        the identical global data order (deterministic resume included)."""
+        ``(t, j)`` maps to global sample ``t*global_batch + start_row + j``
+        — the same layout the contiguous global-mesh sharding assigns to
+        this process's devices, so every process reads a disjoint slice of
+        the identical global data order (deterministic resume included).
+
+        ``start_row``/``global_batch`` default to the even split
+        (``shard_index * batch_size`` / ``batch_size * shard_count``).
+        Uneven global batches (the reference's batch 20 over a pod-slice
+        host count that does not divide it) pass them explicitly: this
+        process loads ``batch_size`` REAL samples starting at global row
+        ``start_row``; rows past the global batch clamp to the last real
+        sample (they become masked padding — ``tools/train.py``)."""
         assert 0 <= shard_index < shard_count, (shard_index, shard_count)
         self._shard_index = shard_index
         self._shard_count = shard_count
+        self._start_row = start_row
+        self._global_batch = global_batch
 
     def _index_at(self, k: int) -> int:
         epoch, pos = divmod(k, self._n)
@@ -132,8 +150,11 @@ class _EpochOrder:
         k = self._count
         if self._shard_count > 1:
             t, j = divmod(k, self.batch_size)
-            k = (t * self.batch_size * self._shard_count
-                 + self._shard_index * self.batch_size + j)
+            gb = (self.batch_size * self._shard_count
+                  if self._global_batch is None else self._global_batch)
+            start = (self._shard_index * self.batch_size
+                     if self._start_row is None else self._start_row)
+            k = t * gb + min(start + j, gb - 1)
         idx = self._index_at(k)
         self._count += 1
         return idx

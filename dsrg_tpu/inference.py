@@ -508,33 +508,43 @@ class Predictor:
         chunk: int = 8,
         smooth: bool = True,
         canvas_bucket: int = 32,
+        in_flight: int = 2,
     ):
-        """Stream (image, mask) pairs with one chunk in flight.
+        """Stream (image, mask) pairs with up to ``in_flight`` chunks in flight.
 
-        While chunk i computes on device, chunk i+1's host work (image
-        loading from the caller's iterator, canvas packing, h2d transfer)
-        proceeds — hiding device time behind transfers and vice versa."""
-        pending = None
+        jax dispatch is async, so submitting chunk i+1 (host image loading,
+        canvas packing, h2d transfer) before materializing chunk i's masks
+        overlaps transfer with device compute.  Depth 1 (the round-2 design)
+        still serializes chunk i+1's UPLOAD behind chunk i-1's blocking d2h
+        download; depth 2 keeps the device fed through that download — on a
+        slow host link (this tunnel moves ~15 MB/s, ~53 of 75.8 ms/img wall
+        is transfer) wall-clock approaches max(transfer, compute) instead of
+        their interleaved sum.  Memory cost: ``in_flight`` extra uint8
+        canvases + mask buffers on device (a few MB per chunk)."""
+        from collections import deque
+
+        in_flight = max(1, int(in_flight))
+        pending = deque()
         batch = []
+
+        def _submit(b):
+            pending.append(
+                self._submit_device_ms(b, sizes, scales, smooth, canvas_bucket)
+            )
+            while len(pending) > in_flight:
+                done = pending.popleft()
+                yield from zip(done[0], self._finish_device_ms(done))
+
         for im in images_iter:
             batch.append(im)
             if len(batch) == chunk:
-                submitted = self._submit_device_ms(
-                    batch, sizes, scales, smooth, canvas_bucket
-                )
-                if pending is not None:
-                    yield from zip(pending[0], self._finish_device_ms(pending))
-                pending = submitted
+                yield from _submit(batch)
                 batch = []
         if batch:
-            submitted = self._submit_device_ms(
-                batch, sizes, scales, smooth, canvas_bucket
-            )
-            if pending is not None:
-                yield from zip(pending[0], self._finish_device_ms(pending))
-            pending = submitted
-        if pending is not None:
-            yield from zip(pending[0], self._finish_device_ms(pending))
+            yield from _submit(batch)
+        while pending:
+            done = pending.popleft()
+            yield from zip(done[0], self._finish_device_ms(done))
 
     def predict_mask(
         self,

@@ -72,6 +72,35 @@ def pad_batch_to_multiple(batch: dict, multiple: int) -> dict:
     return padded
 
 
+def pad_batch_to_rows(batch: dict, rows: int, n_valid: Optional[int] = None) -> dict:
+    """Pad the leading dim to EXACTLY ``rows``; mark the first ``n_valid``
+    rows valid in ``pad_mask`` and everything after them padding.
+
+    The process-level analogue of :func:`pad_batch_to_multiple`: in a
+    multi-host job each process must contribute exactly
+    ``global_padded_batch / num_processes`` rows to the global array
+    (``shard_global_batch``), and with an uneven global batch (the
+    reference's batch 20 over e.g. 8 pod hosts) later processes carry
+    fewer real samples — possibly zero, in which case every row is a
+    masked replica of the one realistic sample the loader drew (realistic
+    values keep CRF/grow numerics healthy; the mask removes any
+    contribution exactly).
+    """
+    b = int(np.shape(next(iter(batch.values())))[0])
+    assert 0 < b <= rows, (b, rows)
+    n_valid = b if n_valid is None else min(n_valid, b)
+    mask = np.zeros((rows,), np.float32)
+    mask[:n_valid] = 1.0
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        if rows > b:
+            v = np.concatenate([v, np.repeat(v[-1:], rows - b, axis=0)], axis=0)
+        out[k] = v
+    out["pad_mask"] = mask
+    return out
+
+
 def shard_global_batch(local_batch: dict, mesh: Mesh, axis: str = DATA_AXIS) -> dict:
     """Assemble a globally-sharded batch from each process's LOCAL shard.
 

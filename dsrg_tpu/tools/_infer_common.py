@@ -73,6 +73,11 @@ def build_arg_parser(description: str) -> argparse.ArgumentParser:
                         "every chunk reuses ONE compiled canvas — each new "
                         "canvas shape is a fresh XLA compile, minutes each "
                         "through a remote tunnel")
+    p.add_argument("--in-flight", dest="in_flight", default=2, type=int,
+                   help="device pipeline: chunks kept in flight (uploads/"
+                        "compute/downloads pipelined).  2 (default) keeps the "
+                        "device fed through each blocking mask download; 1 = "
+                        "the round-2 single-buffer behavior")
     p.add_argument("--pipeline", default="auto", choices=["auto", "host", "device"],
                    help="batched execution pipeline: device = whole multi-scale "
                         "pass (resize/forward/fuse/CRF/argmax) as one device "
@@ -214,8 +219,8 @@ def run_inference(
 
     if use_device:
         # device-resident streaming pipeline: uint8 canvases up, uint8 masks
-        # down, one chunk in flight; reference-exact for absolute sizes
-        # (every image forwards at exactly (s, s), no border padding)
+        # down, --in-flight chunks pipelined; reference-exact for absolute
+        # sizes (every image forwards at exactly (s, s), no border padding)
         stream = predictor.iter_masks_device(
             (_load(i) for i in image_ids),
             sizes=sizes,
@@ -223,6 +228,7 @@ def run_inference(
             chunk=chunk,
             smooth=args.smooth,
             canvas_bucket=int(getattr(args, "canvas_bucket", 32)),
+            in_flight=int(getattr(args, "in_flight", 2)),
         )
         for n, (img_id, (img, mask)) in enumerate(zip(image_ids, stream)):
             print(n, img_id, flush=True)

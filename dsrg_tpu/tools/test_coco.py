@@ -98,6 +98,7 @@ def run_coco(args, sizes=None, scales=None) -> float:
         stream = predictor.iter_masks_device(
             gen(), sizes=sizes, scales=scales, chunk=chunk, smooth=args.smooth,
             canvas_bucket=int(getattr(args, "canvas_bucket", 32)),
+            in_flight=int(getattr(args, "in_flight", 2)),
         )
         for index, (_, mask) in enumerate(stream):
             score(index, kept[index], mask)

@@ -138,16 +138,41 @@ def _flush_metrics(pending, logger):
     return averaged
 
 
+def _process_geometry(global_batch: int, n_proc: int, pid: int, n_dev: int):
+    """Multi-host uneven-batch geometry: (rows, start_row, n_real).
+
+    The global batch pads to the device multiple (``pad_batch_to_multiple``'s
+    rule applied at the job level): ``rows = ceil(B/n_dev)*n_dev / n_proc``
+    is this process's contribution to the global array; it carries the real
+    samples at global rows ``[start_row, start_row + n_real)`` — possibly
+    zero of them when the global batch is smaller than the preceding
+    processes' rows (e.g. batch 20 on 8 single-chip hosts: 24 padded rows,
+    3/process, process 7 is all padding).  Pad rows are masked out of
+    losses/grads/metrics exactly, so ANY process count whose device total
+    the batch pads to works — the reference's batch 20 runs on arbitrary
+    pod-slice host counts (train-s.prototxt:17-19).
+    """
+    if n_proc == 1:
+        return global_batch, 0, global_batch
+    assert n_dev % n_proc == 0, (n_dev, n_proc)
+    padded = -(-global_batch // n_dev) * n_dev
+    rows = padded // n_proc
+    start = pid * rows
+    n_real = max(0, min(global_batch - start, rows))
+    return rows, start, n_real
+
+
 def _local_batch(global_batch: int, n_proc: int) -> int:
-    """Per-process share of the global batch (multi-host data loading)."""
+    """Per-process LOADED sample count (multi-host data loading).
+
+    All-padding processes still load one realistic (masked) sample so the
+    CRF/grow numerics on their replica rows stay healthy."""
     if n_proc == 1:
         return global_batch
-    if global_batch % n_proc:
-        raise SystemExit(
-            f"global batch {global_batch} must divide over {n_proc} processes "
-            "(per-process loaders each read a contiguous slice of it)"
-        )
-    return global_batch // n_proc
+    _, _, n_real = _process_geometry(
+        global_batch, n_proc, jax.process_index(), len(jax.devices())
+    )
+    return max(n_real, 1)
 
 
 def _override(cfg, args):
@@ -287,11 +312,24 @@ def main(argv=None) -> None:
 
     n_dev = len(jax.devices())
     use_mesh = (not args.no_mesh) and n_dev > 1
+    pad_rows = n_valid = None
     if n_proc > 1:
         # every process reads a disjoint contiguous slice of the global
         # data order; batches assemble into global arrays in the loader
-        # (make_array_from_process_local_data via shard_global_batch)
-        dataset.configure_shard(jax.process_index(), n_proc)
+        # (make_array_from_process_local_data via shard_global_batch).
+        # Uneven global batches: this process contributes `rows` rows to
+        # the padded global batch, of which the first `n_valid` are real —
+        # an all-padding process loads the global batch's LAST sample once
+        # (row clamp in _EpochOrder) and masks every row.
+        rows, start, n_real = _process_geometry(
+            cfg.batch_size, n_proc, jax.process_index(), n_dev
+        )
+        dataset.configure_shard(
+            jax.process_index(), n_proc,
+            start_row=start if n_real else cfg.batch_size - 1,
+            global_batch=cfg.batch_size,
+        )
+        pad_rows, n_valid = rows, n_real
         if args.no_mesh:
             raise SystemExit("--no-mesh is incompatible with --num-processes > 1")
     if use_mesh or n_proc > 1:
@@ -306,7 +344,8 @@ def main(argv=None) -> None:
         # restore — tests/test_checkpoint_topology.py)
         state = replicate_to_mesh(state, mesh)
         step = data_parallel_step(make_step("data"), mesh, donate_state=False)
-        loader = PrefetchLoader(dataset, mesh=mesh)
+        loader = PrefetchLoader(dataset, mesh=mesh, pad_rows=pad_rows,
+                                n_valid=n_valid)
         padded = -(-cfg.batch_size // n_dev) * n_dev
         note = (
             ""

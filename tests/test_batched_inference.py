@@ -252,3 +252,28 @@ def test_predict_probs_rejects_sizes_and_scales():
         predictor.predict_probs(im, sizes=[41], scales=[0.75])
     with pytest.raises(ValueError, match="exactly one"):
         predictor.predict_probs_batch([im], sizes=[41], scales=[0.75])
+
+
+def test_iter_masks_device_depths_match_batched():
+    """The streaming iterator equals predict_masks_device at every pipeline
+    depth (in_flight 1/2/3), including a tail chunk that does not fill
+    ``chunk`` and an image count spanning multiple chunks (VERDICT r4
+    item 4: double-buffered uploads/downloads must not reorder or drop
+    masks)."""
+    predictor = _predictor()
+    rng = np.random.default_rng(11)
+    images = _images(rng, n=5)  # chunk=2 -> 2 full chunks + 1 tail
+    want = predictor.predict_masks_device(
+        images, sizes=[41], smooth=False, canvas_bucket=16
+    )
+    for depth in (1, 2, 3):
+        got = list(
+            predictor.iter_masks_device(
+                iter(images), sizes=[41], chunk=2, smooth=False,
+                canvas_bucket=16, in_flight=depth,
+            )
+        )
+        assert len(got) == len(images)
+        for (im, mk), im0, w in zip(got, images, want):
+            assert im is im0  # images stream through in order
+            np.testing.assert_array_equal(mk, w)

@@ -124,3 +124,68 @@ def test_two_process_trainer_cli_matches_single_process(tiny_voc, tmp_path):
 
     # the multi-process job snapshots once (orbax multi-process save)
     assert osp.exists(osp.join(snap_dir, "step_3_params"))
+
+
+def test_eight_process_uneven_batch20_matches_single_process(tiny_voc, tmp_path):
+    """VERDICT r4 item 3: the reference's global batch 20
+    (train-s.prototxt:17-19) on a process count that does NOT divide it —
+    8 single-device localhost processes (the v5p pod-slice host shape).
+    The padded global batch is 24 rows / 3 per process; process 6 carries
+    2 real + 1 pad row and process 7 is ALL padding (it loads one masked
+    replica of global row 19).  Per-iteration losses must equal the
+    single-process 8-virtual-device run bit-for-bit-to-float-tolerance:
+    the process tiling reproduces the single-process padded layout exactly
+    (same rows on the same mesh positions, same per-device RNG folds)."""
+    root = tiny_voc
+
+    def argv20(snap, metrics):
+        return [
+            "--stage", "s",
+            "--image-dir", str(root / "JPEGImages"),
+            "--input-list", str(root / "input_list.txt"),
+            "--cues", str(root / "cues.pickle"),
+            "--snapshot-dir", snap,
+            "--max-iter", "2", "--batch-size", "20", "--crop-size", "41",
+            "--snapshot-every", "2", "--display", "1",
+            "--sync-snapshots",
+            "--metrics-log", metrics,
+        ]
+
+    # reference: single process, 8-device mesh (this pytest interpreter)
+    from dsrg_tpu.tools import train as train_tool
+
+    single_metrics = str(tmp_path / "single20.jsonl")
+    train_tool.main(argv20(str(tmp_path / "m_single20"), single_metrics))
+    single = _read_losses(single_metrics)
+    assert set(single) == {1, 2}
+
+    port = _free_port()
+    coord = f"localhost:{port}"
+    multi_metrics = str(tmp_path / "multi20.jsonl")
+    snap_dir = str(tmp_path / "m_multi20")
+    procs = []
+    for pid in range(8):
+        argv = argv20(snap_dir, multi_metrics) + [
+            "--coordinator", coord,
+            "--num-processes", "8",
+            "--process-id", str(pid),
+        ]
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, WORKER, "1"] + argv,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+                cwd=REPO,
+            )
+        )
+    outs = [p.communicate(timeout=2400)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"trainer process {pid} failed:\n{out}"
+    assert "across 8 processes" in outs[0]
+    assert "batch padded 20->24" in outs[0]
+
+    multi = _read_losses(multi_metrics)
+    assert set(multi) == {1, 2}
+    for it in (1, 2):
+        np.testing.assert_allclose(multi[it], single[it], rtol=1e-5)
