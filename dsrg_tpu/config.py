@@ -37,6 +37,9 @@ class Stage1Config:
     stepsize: int = 1000
     momentum: float = 0.9
     weight_decay: float = 5e-4
+    clip_gradients: float = 0.0      # Caffe solver clip_gradients (0 = off,
+                                     # matching solver-s.prototxt; >0 scales
+                                     # raw grads to this global L2 norm)
     max_iter: int = 8000
     snapshot_every: int = 8000
     seed: int = 0                    # solver random_seed
@@ -59,6 +62,7 @@ class Stage2Config:
     power: float = 0.9
     momentum: float = 0.9
     weight_decay: float = 5e-4
+    clip_gradients: float = 0.0      # Caffe solver clip_gradients (0 = off)
     max_iter: int = 20000
     snapshot_every: int = 10000
     seed: int = 0

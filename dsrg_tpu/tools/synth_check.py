@@ -182,6 +182,17 @@ def main(argv=None) -> float:
     p.add_argument("--batch", type=int, default=8, help="inference chunk")
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--model-name", choices=["vgg16", "resnet101"], default="vgg16")
+    p.add_argument("--weights", default=None,
+                   help="warm-start checkpoint or .caffemodel forwarded to the "
+                        "trainer (the ResNet frozen-BN contract needs one — "
+                        "synthesize with tools/calibrate_bn.py)")
+    p.add_argument("--clip-gradients", type=float, default=None,
+                   help="forward the Caffe solver clip_gradients threshold "
+                        "to the trainer (ResNet warm starts want ~10)")
+    p.add_argument("--base-lr", type=float, default=None,
+                   help="override the stage-s solver base_lr (the calibrated "
+                        "ResNet warm start trains stably at 1e-4 + clip 10; "
+                        "the VGG default is solver-s.prototxt's 5e-4)")
     p.add_argument("--crf-true-grad", action="store_true",
                    help="train with the true mean-field Jacobian (CRF-as-RNN)")
     p.add_argument("--crf-fast", action="store_true",
@@ -258,7 +269,11 @@ def main(argv=None) -> float:
         "--display", "25",
         "--dtype", args.dtype,
         "--model", args.model_name,
-    ] + (["--crf-true-grad"] if args.crf_true_grad else [])
+    ] + (["--weights", args.weights] if args.weights else [])
+      + (["--clip-gradients", str(args.clip_gradients)]
+         if args.clip_gradients is not None else [])
+      + (["--base-lr", str(args.base_lr)] if args.base_lr is not None else [])
+      + (["--crf-true-grad"] if args.crf_true_grad else [])
       + (["--crf-fast"] if args.crf_fast else []))
     params_path = osp.join(snap_dir, f"step_{args.iters}_params")
 

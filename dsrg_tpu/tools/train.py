@@ -60,6 +60,10 @@ def parse_args(argv=None):
     # solver overrides
     p.add_argument("--max-iter", type=int, default=None)
     p.add_argument("--base-lr", type=float, default=None)
+    p.add_argument("--clip-gradients", type=float, default=None,
+                   help="Caffe solver clip_gradients: scale raw grads to this "
+                        "global L2 norm when exceeded (ResNet-101 warm starts "
+                        "need ~35; the VGG recipe leaves it off)")
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--crop-size", type=int, default=None)
     p.add_argument("--snapshot-every", type=int, default=None)
@@ -181,6 +185,8 @@ def _override(cfg, args):
         changes["max_iter"] = args.max_iter
     if args.base_lr is not None:
         changes["base_lr"] = args.base_lr
+    if args.clip_gradients is not None:
+        changes["clip_gradients"] = args.clip_gradients
     if args.batch_size is not None:
         changes["batch_size"] = args.batch_size
     if args.crop_size is not None:

@@ -80,8 +80,18 @@ def caffe_sgd(
     momentum: float = 0.9,
     weight_decay: float = 5e-4,
     mults_fn: Callable = vgg_param_mults,
+    clip_gradients: float = 0.0,
 ) -> optax.GradientTransformation:
-    """optax-style transformation implementing the Caffe SGD update."""
+    """optax-style transformation implementing the Caffe SGD update.
+
+    ``clip_gradients`` > 0 reproduces the Caffe solver's ``clip_gradients``
+    field (``SGDSolver::ClipGradients``): when the global L2 norm of the raw
+    gradients exceeds the threshold, every gradient is scaled by
+    ``threshold / norm`` BEFORE regularization/lr/momentum — the update order
+    Caffe uses (ClipGradients -> Regularize -> ComputeUpdateValue).  The
+    VGG recipe never sets it; deeper warm-started backbones (ResNet-101,
+    whose 10x-lr heads see large early gradients) need it to stay stable.
+    """
 
     def init(params):
         return CaffeSGDState(
@@ -90,6 +100,10 @@ def caffe_sgd(
         )
 
     def update(grads, state, params):
+        if clip_gradients and clip_gradients > 0:
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, clip_gradients / jnp.maximum(gnorm, 1e-12))
+            grads = jax.tree.map(lambda g: g * scale, grads)
         lr_mults, dec_mults = mults_fn(params)
         lr = lr_fn(state.step)
 

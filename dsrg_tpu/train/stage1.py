@@ -55,6 +55,7 @@ def make_optimizer(cfg: Stage1Config) -> optax.GradientTransformation:
         lr_step(cfg.base_lr, cfg.gamma, cfg.stepsize),
         momentum=cfg.momentum,
         weight_decay=cfg.weight_decay,
+        clip_gradients=cfg.clip_gradients,
     )
 
 

@@ -26,6 +26,7 @@ def make_optimizer(cfg: Stage2Config) -> optax.GradientTransformation:
         lr_poly(cfg.base_lr, cfg.power, cfg.max_iter),
         momentum=cfg.momentum,
         weight_decay=cfg.weight_decay,
+        clip_gradients=cfg.clip_gradients,
     )
 
 

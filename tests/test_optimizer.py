@@ -53,6 +53,41 @@ def test_caffe_sgd_update_sequence():
     )
 
 
+def test_clip_gradients_matches_caffe_order():
+    """Caffe's SGDSolver::ClipGradients scales RAW grads by thresh/norm
+    BEFORE weight decay is added — check exactly that order, and that a
+    below-threshold norm is untouched."""
+    base_lr, mom, wd, clip = 0.1, 0.9, 0.01, 0.25
+    params = {"layer": {"kernel": jnp.asarray([2.0]), "bias": jnp.asarray([1.0])}}
+    tx = caffe_sgd(lambda s: base_lr, momentum=mom, weight_decay=wd,
+                   clip_gradients=clip)
+    state = tx.init(params)
+    g = {"layer": {"kernel": jnp.asarray([0.4]), "bias": jnp.asarray([0.3])}}
+    gnorm = np.sqrt(0.4**2 + 0.3**2)  # 0.5 > clip
+    scale = clip / gnorm
+
+    updates, state = tx.update(g, state, params)
+    params = optax.apply_updates(params, updates)
+    # kernel: clip first, THEN decay: v = lr*(0.4*scale + wd*2)
+    np.testing.assert_allclose(
+        np.asarray(params["layer"]["kernel"]),
+        [2 - base_lr * (0.4 * scale + wd * 2.0)], rtol=1e-6)
+    # bias: lr_mult 2, no decay: v = 2*lr*0.3*scale
+    np.testing.assert_allclose(
+        np.asarray(params["layer"]["bias"]),
+        [1 - 2 * base_lr * 0.3 * scale], rtol=1e-6)
+
+    # small grads pass through unscaled (norm 0.05 < 0.25)
+    g_small = {"layer": {"kernel": jnp.asarray([0.04]), "bias": jnp.asarray([0.03])}}
+    tx2 = caffe_sgd(lambda s: base_lr, momentum=mom, weight_decay=0.0,
+                    clip_gradients=clip)
+    u_clip, _ = tx2.update(g_small, tx2.init(params), params)
+    tx3 = caffe_sgd(lambda s: base_lr, momentum=mom, weight_decay=0.0)
+    u_ref, _ = tx3.update(g_small, tx3.init(params), params)
+    np.testing.assert_allclose(np.asarray(u_clip["layer"]["kernel"]),
+                               np.asarray(u_ref["layer"]["kernel"]), rtol=1e-7)
+
+
 def test_bn_and_resnet_head_mults():
     params = {
         "bn1": {"scale": jnp.ones(4), "bias": jnp.zeros(4)},
