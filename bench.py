@@ -59,9 +59,12 @@ def _enable_compile_cache():
 
     import jax
 
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from dsrg_tpu.utils.cache import enable_compile_cache
+
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    enable_compile_cache(cache_dir)  # also makes cache keys dir-portable
     try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass

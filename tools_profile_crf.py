@@ -6,7 +6,9 @@ sys.path.insert(0, ".")
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+from dsrg_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache(".jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from dsrg_tpu.ops.crf.mmgrid import MMGridPlan, mean_field_mmgrid
