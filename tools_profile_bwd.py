@@ -28,6 +28,11 @@ import os
 import sys
 import tempfile
 
+# The plugin's generated *_pb2 modules predate protobuf 4's upb fast path;
+# force the pure-python implementation BEFORE google.protobuf is imported
+# anywhere in this process or the converter import hard-fails.
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+
 
 def capture_xspace(trace_dir: str, steps: int, batch_size: int = 20):
     """Run the bench step under jax.profiler.trace; returns (xplane_path, step_ms)."""
@@ -88,18 +93,73 @@ def capture_xspace(trace_dir: str, steps: int, batch_size: int = 20):
     return max(paths, key=os.path.getsize), dt * 1000.0
 
 
-def xspace_op_table(xplane_path: str):
-    """Parse the XSpace into [(op_name, scope, self_us, occurrences)] via the
-    tensorboard profile plugin's hlo-stats converter."""
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+def xspace_op_table(xplane_path: str, steps: int):
+    """Parse the XSpace proto directly (the tensorboard profile plugin's
+    converters are version-broken against this TF build): aggregate the
+    device plane's "XLA Ops" line per op metadata, pulling the jax scope
+    (``tf_op``), ``hlo_category``, ``flops`` and ``bytes_accessed`` from the
+    per-op metadata stats.  Returns (ops, async_ms_per_step, device_name)."""
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
-    data, _ = raw_to_tool_data.xspace_to_tool_data(
-        [xplane_path], "hlo_stats", {}
-    )
-    if isinstance(data, bytes):
-        data = data.decode("utf-8")
-    table = json.loads(data)
-    return table
+    xs = xplane_pb2.XSpace()
+    with open(xplane_path, "rb") as f:
+        xs.ParseFromString(f.read())
+    dev = None
+    for p in xs.planes:
+        if p.name.startswith("/device:") and any(
+                l.name == "XLA Ops" and l.events for l in p.lines):
+            dev = p
+            break
+    if dev is None:
+        raise SystemExit("no device plane with an 'XLA Ops' line in the trace")
+    em, sm = dev.event_metadata, dev.stat_metadata
+
+    def md_stats(md):
+        out = {}
+        for st in md.stats:
+            name = sm[st.metadata_id].name
+            if st.str_value:
+                out[name] = st.str_value
+            elif st.ref_value:
+                out[name] = sm[st.ref_value].name
+            else:
+                out[name] = st.int64_value or st.uint64_value or st.double_value
+        return out
+
+    agg = {}
+    for l in dev.lines:
+        if l.name not in ("XLA Ops", "Async XLA Ops"):
+            continue
+        for ev in l.events:
+            key = (l.name, ev.metadata_id)
+            a = agg.get(key)
+            if a is None:
+                md = em[ev.metadata_id]
+                s = md_stats(md)
+                agg[key] = a = {
+                    "line": l.name,
+                    "op": md.display_name or md.name.split(" = ")[0],
+                    "expr": md.name[:200],
+                    "category": s.get("hlo_category", ""),
+                    "scope": s.get("tf_op", ""),
+                    "source": s.get("source", ""),
+                    "flops": int(s.get("flops", 0) or 0),
+                    "bytes_accessed": int(s.get("bytes_accessed", 0) or 0),
+                    "occurrences": 0,
+                    "self_us": 0.0,
+                }
+            a["occurrences"] += 1
+            a["self_us"] += ev.duration_ps / 1e6
+    ops = [a for a in agg.values() if a["line"] == "XLA Ops"]
+    async_us = sum(a["self_us"] for a in agg.values()
+                   if a["line"] == "Async XLA Ops")
+    peaks = {}
+    for st in dev.stats:
+        name = sm[st.metadata_id].name
+        if name in ("device_type_string", "peak_teraflops_per_second",
+                    "peak_hbm_bw_gigabytes_per_second"):
+            peaks[name] = st.str_value or st.double_value
+    return ops, async_us / 1000.0 / steps, dev.name, peaks
 
 
 def main(argv=None):
@@ -110,55 +170,21 @@ def main(argv=None):
     ap.add_argument("--out", default="artifacts/step_profile_r05.json")
     ap.add_argument("--keep-trace", default=None,
                     help="keep the raw trace under this dir (default: tmp, deleted)")
+    ap.add_argument("--parse", default=None, metavar="XPLANE_PB",
+                    help="skip capture; parse this existing .xplane.pb "
+                         "(pass --wall-ms for the step wall time to record)")
+    ap.add_argument("--wall-ms", type=float, default=None)
     args = ap.parse_args(argv)
 
-    trace_dir = args.keep_trace or tempfile.mkdtemp(prefix="dsrg_trace_")
-    xplane, step_ms = capture_xspace(trace_dir, args.steps, args.batch_size)
+    if args.parse:
+        xplane, step_ms = args.parse, (args.wall_ms or float("nan"))
+    else:
+        trace_dir = args.keep_trace or tempfile.mkdtemp(prefix="dsrg_trace_")
+        xplane, step_ms = capture_xspace(trace_dir, args.steps, args.batch_size)
     print(f"captured {xplane} ({os.path.getsize(xplane)/1e6:.1f} MB); "
           f"step {step_ms:.1f} ms", flush=True)
 
-    table = xspace_op_table(xplane)
-    # hlo_stats schema: {"cols": [...], "rows": [...]} (gviz DataTable-like)
-    cols = [c["label"] if isinstance(c, dict) else c for c in table.get("cols", [])]
-    print("columns:", cols, flush=True)
-
-    def col(label_sub):
-        for i, c in enumerate(cols):
-            if label_sub.lower() in str(c).lower():
-                return i
-        return None
-
-    i_prog = col("program")  # HLO module name
-    i_cat = col("category")
-    i_op = col("HLO op name") if col("HLO op name") is not None else col("op name")
-    i_expr = col("expression")
-    i_occ = col("occurrence")
-    i_self = col("total self time (us)") if col("total self time (us)") is not None else col("self time")
-    i_frame = col("framework op")  # tf_op_name — carries the jax scope
-
-    rows = []
-    for r in table.get("rows", []):
-        c = [x.get("v") if isinstance(x, dict) else x for x in r["c"]] if isinstance(r, dict) else r
-        rows.append(c)
-
-    ops = []
-    for c in rows:
-        ops.append({
-            "program": c[i_prog] if i_prog is not None else "",
-            "category": c[i_cat] if i_cat is not None else "",
-            "op": c[i_op] if i_op is not None else "",
-            "scope": c[i_frame] if i_frame is not None else "",
-            "expr": (c[i_expr] or "")[:160] if i_expr is not None else "",
-            "occurrences": c[i_occ] if i_occ is not None else None,
-            "self_us": float(c[i_self] or 0.0) if i_self is not None else 0.0,
-        })
-
-    # keep only the train-step program (drop any stray compiles in the window)
-    progs = {}
-    for o in ops:
-        progs[o["program"]] = progs.get(o["program"], 0.0) + o["self_us"]
-    main_prog = max(progs, key=progs.get) if progs else ""
-    ops = [o for o in ops if o["program"] == main_prog]
+    ops, async_ms, dev_name, peaks = xspace_op_table(xplane, args.steps)
 
     def classify(o):
         s = (o["scope"] or "") + " " + (o["op"] or "")
@@ -171,23 +197,40 @@ def main(argv=None):
 
     total_us = sum(o["self_us"] for o in ops)
     split = {}
+    cat_split = {}
     for o in ops:
         k = classify(o)
         split[k] = split.get(k, 0.0) + o["self_us"]
+        ck = (k, o["category"] or "?")
+        cat_split[ck] = cat_split.get(ck, 0.0) + o["self_us"]
 
     ops.sort(key=lambda o: -o["self_us"])
     top = ops[: args.top]
     out = {
         "step_ms_wall": round(step_ms, 2),
         "steps_traced": args.steps,
-        "program": main_prog,
+        "device": dev_name,
+        "device_peaks": peaks,
         "device_total_ms_per_step": round(total_us / 1000.0 / args.steps, 2),
+        "async_dma_ms_per_step_overlapped": round(async_ms, 2),
         "split_ms_per_step": {
             k: round(v / 1000.0 / args.steps, 2) for k, v in sorted(split.items())
         },
+        "split_by_class_and_category_ms": {
+            f"{k}/{c}": round(v / 1000.0 / args.steps, 3)
+            for (k, c), v in sorted(cat_split.items(), key=lambda kv: -kv[1])
+        },
         "top_ops": [
-            {**{k: o[k] for k in ("category", "op", "scope", "expr", "occurrences")},
+            {**{k: o[k] for k in ("category", "op", "scope", "expr",
+                                  "occurrences", "flops", "bytes_accessed",
+                                  "source")},
              "ms_per_step": round(o["self_us"] / 1000.0 / args.steps, 3),
+             "tflops_per_s": round(
+                 o["flops"] * o["occurrences"] / o["self_us"] / 1e6, 1)
+             if o["self_us"] else 0.0,
+             "gb_per_s": round(
+                 o["bytes_accessed"] * o["occurrences"] / o["self_us"] / 1e3, 1)
+             if o["self_us"] else 0.0,
              "class": classify(o)}
             for o in top
         ],
