@@ -35,6 +35,7 @@ from dsrg_tpu.models.masking import (
     pool_out_extent,
     split_valid_hw,
 )
+from dsrg_tpu.ops.dropout import CaffeDropout
 from dsrg_tpu.ops.pooling import caffe_avg_pool, caffe_max_pool
 
 # (name, out_channels, dilation) per VGG conv stage.
@@ -64,6 +65,9 @@ class DeepLabLargeFOV(nn.Module):
     head_dilations: Sequence[int] = (6, 12, 18, 24)
     dropout_rate: float = 0.5
     compute_dtype: Any = jnp.float32
+    # 8-bit dropout masks (4x less RNG traffic; same Bernoulli(0.5)
+    # distribution, different draws per key — see ops/dropout.py)
+    dropout_bits8: bool = True
 
     @nn.compact
     def __call__(
@@ -110,13 +114,15 @@ class DeepLabLargeFOV(nn.Module):
                 dtype=self.compute_dtype, param_dtype=jnp.float32, name=f"fc6_{k}",
             )(x)
             h = nn.relu(h)
-            h = nn.Dropout(self.dropout_rate, deterministic=not train)(h)
+            h = CaffeDropout(self.dropout_rate, bits8=self.dropout_bits8)(
+                h, deterministic=not train)
             h = nn.Conv(
                 1024, (1, 1), dtype=self.compute_dtype, param_dtype=jnp.float32,
                 name=f"fc7_{k}",
             )(h)
             h = nn.relu(h)
-            h = nn.Dropout(self.dropout_rate, deterministic=not train)(h)
+            h = CaffeDropout(self.dropout_rate, bits8=self.dropout_bits8)(
+                h, deterministic=not train)
             h = nn.Conv(
                 self.num_classes, (1, 1),
                 kernel_init=nn.initializers.normal(stddev=0.01),

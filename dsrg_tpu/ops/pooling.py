@@ -15,6 +15,8 @@ stride-1 pad-1 — the LargeFOV trick that keeps the stride-8 resolution.
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -45,20 +47,104 @@ def _max_pool_2d(x: jnp.ndarray, k: int, stride: int, pad: int) -> jnp.ndarray:
     )
 
 
+def _reduce_window_max_1d(x, axis, k, s, pads):
+    dims = [1] * x.ndim
+    dims[axis] = k
+    strides = [1] * x.ndim
+    strides[axis] = s
+    padding = [(0, 0)] * x.ndim
+    padding[axis] = tuple(pads)
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=tuple(dims),
+        window_strides=tuple(strides),
+        padding=tuple(padding),
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _max_pool_1d(x, axis, k, s, pads):
+    """1-D max pool along ``axis`` whose BACKWARD is pure elementwise math.
+
+    XLA's stock VJP of reduce_window-max is SelectAndScatter, which the TPU
+    runs as a windowed scan at ~1/3 of HBM bandwidth (measured 5.6 ms/step
+    across the five stage-1 pools, ``artifacts/step_profile_r05.json``).
+    The same routing — each window's cotangent goes to the window's FIRST
+    maximum, Caffe's stored-argmax semantics and SelectAndScatter's
+    GE-select scan order — is computable with k strided slices and a
+    first-max cascade: tap t takes the cotangent iff x_t == y and no tap
+    before it matched.  Placing each tap's routed cotangents back is an
+    interior-dilated lax.pad (negative edge padding trims windows whose tap
+    falls in the -inf halo, where x_t == y is impossible anyway).
+
+    MEASURED AND NOT ADOPTED (round 5, real chip): XLA does not fuse the
+    -inf halo pad or the interior-dilated placement pads — they run as
+    standalone data-formatting ops (~55 ms/step at the stage-1 geometry,
+    blowing the step from 101.5 to 191.3 ms).  Kept, with routing pinned
+    bit-identical to SelectAndScatter on integer data
+    (``tests/test_model.py::test_max_pool_routed_grad_*``), as the
+    reference semantics for a future Pallas kernel that fuses this math in
+    VMEM.
+    """
+    return _reduce_window_max_1d(x, axis, k, s, pads)
+
+
+def _mp1d_fwd(x, axis, k, s, pads):
+    y = _reduce_window_max_1d(x, axis, k, s, pads)
+    return y, (x, y)
+
+
+def _mp1d_bwd(axis, k, s, pads, res, g):
+    x, y = res
+    pl, _ = pads
+    in_len = x.shape[axis]
+    out = y.shape[axis]
+    halo = [(0, 0, 0)] * x.ndim
+    halo[axis] = (pl, max((out - 1) * s + k - pl - in_len, 0), 0)
+    xp = jax.lax.pad(x, jnp.asarray(-jnp.inf, x.dtype), halo)
+    taken = None
+    g_in = None
+    zero = jnp.asarray(0, g.dtype)
+    for t in range(k):
+        start = [0] * x.ndim
+        limit = list(xp.shape)
+        strides = [1] * x.ndim
+        start[axis] = t
+        limit[axis] = t + (out - 1) * s + 1
+        strides[axis] = s
+        x_t = jax.lax.slice(xp, start, limit, strides)
+        hit = x_t == y
+        r_t = hit if taken is None else hit & ~taken
+        taken = hit if taken is None else taken | hit
+        c_t = jnp.where(r_t, g, zero)
+        place = [(0, 0, 0)] * x.ndim
+        lo = t - pl
+        place[axis] = (lo, in_len - (lo + (out - 1) * s + 1), s - 1)
+        placed = jax.lax.pad(c_t, zero, place)
+        g_in = placed if g_in is None else g_in + placed
+    return (g_in,)
+
+
+_max_pool_1d.defvjp(_mp1d_fwd, _mp1d_bwd)
+
+
 def caffe_max_pool(x: jnp.ndarray, k: int = 3, stride: int = 2, pad: int = 1) -> jnp.ndarray:
     """(B, H, W, C) max pooling with Caffe output-size semantics.
 
     Computed SEPARABLY — a 1-D column max then a 1-D row max — because max
-    over a k x k window factors exactly, and on TPU the backward of each 1-D
-    reduce_window is a k-element SelectAndScatter scan instead of the 2-D
-    k^2-element one (and the second pass runs on the already-shrunk
-    intermediate).  Measured on the five pools of the batch-20 @ 321^2
-    stage-1 step: fwd+bwd 14.5 ms (2-D) -> see STATUS.md (separable), with
-    bit-identical forwards AND gradients: 1-D SAS routes each window's
-    cotangent to its first row-max, then to the first column max within that
-    row — exactly the 2-D GE-select scan order (and Caffe's stored first
-    argmax, ``PoolingLayer::Backward_cpu``).  Pinned incl. ties by
+    over a k x k window factors exactly; each 1-D pass routes its backward
+    to the first row-max, then the first column max within that row —
+    exactly the 2-D GE-select scan order (and Caffe's stored first argmax,
+    ``PoolingLayer::Backward_cpu``).  Pinned incl. ties by
     ``tests/test_model.py::test_max_pool_separable_matches_2d``.
+
+    The backward is SelectAndScatter (XLA's stock reduce_window-max VJP).
+    A routed elementwise alternative (``_max_pool_1d``) was built and
+    measured on the real chip and LOSES 2x: XLA keeps its -inf halo pad and
+    interior-dilated placement pads as standalone data-formatting ops
+    (~55 ms/step of `pad` at the stage-1 geometry vs the 5.6 ms it tried to
+    save) — see STATUS.md round 5.  The code is kept (tested bit-equivalent
+    in routing) for a future Pallas fusion of the same math.
     """
     h, w = x.shape[1], x.shape[2]
     _, ph = _caffe_pool_geometry(h, k, stride, pad)

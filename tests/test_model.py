@@ -125,3 +125,91 @@ def test_model_param_names_match_prototxt_layers():
         "fc6_1", "fc7_1", "fc8-SEC_1", "fc6_4", "fc7_4", "fc8-SEC_4",
     ]:
         assert expected in names, expected
+
+
+def test_caffe_dropout_bits8_statistics_and_scale():
+    from dsrg_tpu.ops.dropout import CaffeDropout
+
+    x = jnp.ones((64, 41, 41, 16), jnp.float32)
+    drop = CaffeDropout(0.5, bits8=True)
+    y = drop.apply({}, x, deterministic=False,
+                   rngs={"dropout": jax.random.PRNGKey(0)})
+    y = np.asarray(y)
+    # kept units are scaled by exactly 1/(1-0.5); dropped are exactly 0
+    assert set(np.unique(y)) == {0.0, 2.0}
+    # keep rate is Bernoulli(0.5): ~5 sigma bound on the mean over 1.7M draws
+    keep = (y > 0).mean()
+    assert abs(keep - 0.5) < 5 * 0.5 / np.sqrt(y.size)
+    # E[y] == x (inverted dropout)
+    assert abs(y.mean() - 1.0) < 5e-3
+    # deterministic passthrough, no rng needed
+    np.testing.assert_array_equal(
+        np.asarray(drop.apply({}, x, deterministic=True)), np.asarray(x))
+
+
+def test_caffe_dropout_bits32_path_is_inverted_bernoulli():
+    from dsrg_tpu.ops.dropout import CaffeDropout
+
+    # bits8=False delegates to flax nn.Dropout's 32-bit mask construction
+    # (the rng differs from a bare nn.Dropout only via the module path fold)
+    x = jnp.ones((32, 32, 32), jnp.float32)
+    y = np.asarray(CaffeDropout(0.5, bits8=False).apply(
+        {}, x, deterministic=False, rngs={"dropout": jax.random.PRNGKey(7)}))
+    assert set(np.unique(y)) == {0.0, 2.0}
+    assert abs((y > 0).mean() - 0.5) < 5 * 0.5 / np.sqrt(y.size)
+
+
+def test_caffe_dropout_bits8_gradient_routes_through_mask():
+    from dsrg_tpu.ops.dropout import CaffeDropout
+
+    x = jnp.ones((4, 16, 16, 8), jnp.float32)
+    drop = CaffeDropout(0.5, bits8=True)
+
+    def f(x):
+        return drop.apply({}, x, deterministic=False,
+                          rngs={"dropout": jax.random.PRNGKey(3)}).sum()
+
+    g = np.asarray(jax.grad(f)(x))
+    y = np.asarray(drop.apply({}, x, deterministic=False,
+                              rngs={"dropout": jax.random.PRNGKey(3)}))
+    # gradient is the mask * scale — nonzero exactly where the output is
+    np.testing.assert_array_equal(g != 0, y != 0)
+    assert set(np.unique(g)) <= {0.0, 2.0}
+
+
+def test_max_pool_routed_grad_matches_select_and_scatter():
+    """The routed elementwise backward of ops/pooling._max_pool_1d (kept as
+    the semantic spec for a future Pallas pool-grad kernel; NOT the
+    production path — see its docstring) routes every window's cotangent to
+    the window's first maximum, exactly like SelectAndScatter.  Integer data
+    makes the accumulation exact, so the match is bit-level incl. ties; on
+    float data only the accumulation order differs (allclose)."""
+    from dsrg_tpu.ops.pooling import _caffe_pool_geometry, _max_pool_1d, _max_pool_2d
+
+    def routed_pool(x, k, s, p):
+        h, w = x.shape[1], x.shape[2]
+        _, ph = _caffe_pool_geometry(h, k, s, p)
+        _, pw = _caffe_pool_geometry(w, k, s, p)
+        y = _max_pool_1d(x, 2, k, s, tuple(pw))
+        return _max_pool_1d(y, 1, k, s, tuple(ph))
+
+    rng = np.random.default_rng(11)
+    for h, w, stride in [(41, 41, 1), (21, 33, 2), (9, 11, 2)]:
+        # tie-heavy integer case: bit-level
+        x = jnp.asarray(rng.integers(0, 4, size=(2, h, w, 3)).astype(np.float32))
+        ct = jnp.asarray(rng.integers(
+            1, 5, size=caffe_max_pool(x, 3, stride, 1).shape).astype(np.float32))
+        g_new = np.asarray(jax.grad(
+            lambda v: (routed_pool(v, 3, stride, 1) * ct).sum())(x))
+        g_ref = np.asarray(jax.grad(
+            lambda v: (caffe_max_pool(v, 3, stride, 1) * ct).sum())(x))
+        np.testing.assert_array_equal(g_new, g_ref)
+        # float case: identical support, reassociated accumulation
+        xf = jnp.asarray(rng.normal(size=(2, h, w, 3)).astype(np.float32))
+        cf = jnp.asarray(rng.normal(size=ct.shape).astype(np.float32))
+        g_new = np.asarray(jax.grad(
+            lambda v: (routed_pool(v, 3, stride, 1) * cf).sum())(xf))
+        g_sas = np.asarray(jax.grad(
+            lambda v: (_max_pool_2d(v, 3, stride, 1) * cf).sum())(xf))
+        np.testing.assert_array_equal(g_new != 0, g_sas != 0)
+        np.testing.assert_allclose(g_new, g_sas, rtol=1e-4, atol=1e-6)
