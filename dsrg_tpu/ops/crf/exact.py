@@ -146,7 +146,12 @@ def mean_field_exact(
     def body(_, q):
         return _softmax_cols(unary + message(q))
 
-    return jax.lax.fori_loop(0, n_iters, body, q0)
+    # n_iters is static (reference: 10) and the state is one (N, M) array:
+    # fully unrolling removes the while-loop's per-iteration dispatch
+    # barriers and lets XLA schedule/fuse across iterations (the train
+    # step's CRF showed ~1.8 ms/step of bare `while` overhead in
+    # artifacts/step_profile_r05.json).
+    return jax.lax.fori_loop(0, n_iters, body, q0, unroll=True)
 
 
 def mean_field_general(
