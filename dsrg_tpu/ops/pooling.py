@@ -15,6 +15,7 @@ stride-1 pad-1 — the LargeFOV trick that keeps the stride-8 resolution.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import numpy as np
@@ -128,7 +129,142 @@ def _mp1d_bwd(axis, k, s, pads, res, g):
 _max_pool_1d.defvjp(_mp1d_fwd, _mp1d_bwd)
 
 
-def caffe_max_pool(x: jnp.ndarray, k: int = 3, stride: int = 2, pad: int = 1) -> jnp.ndarray:
+def _mp1d_bwd_gather(axis, k, s, pads, res, g):
+    """Gather-form routed backward: the same first-max routing as
+    ``_mp1d_bwd`` (and SelectAndScatter) but written so XLA never sees the
+    two ops it refuses to fuse — there is NO -inf halo pad of ``x`` and NO
+    interior-dilated placement pad.  Instead:
+
+    - each tap's window-hit test slices only the o-range whose tap lands
+      inside the real array (edge windows whose tap falls in the conceptual
+      -inf halo can never hit, so a False edge-pad of the hit mask is
+      exact);
+    - placement is inverted into a per-INPUT gather: input index i receives
+      cotangent from tap t of window o = (i + pads[0] - t) / s, so for each
+      residue class r = i mod s the contributions are plain shifted slices
+      of the routed cotangents, and the s residue streams interleave back
+      with one stack+reshape (a layout move, not a dilated pad).
+
+    All pads that remain are non-interior zero/False edge pads of <= k
+    rows, which XLA folds into loop fusions.
+    """
+    x, y = res
+    pl, _ = pads
+    in_len = x.shape[axis]
+    out = y.shape[axis]
+    zero = jnp.asarray(0, g.dtype)
+
+    def _slice1d(a, start, count, stride=1):
+        st = [0] * a.ndim
+        li = list(a.shape)
+        sr = [1] * a.ndim
+        st[axis] = start
+        li[axis] = start + (count - 1) * stride + 1
+        sr[axis] = stride
+        return jax.lax.slice(a, st, li, sr)
+
+    def _edge_pad(a, lo, hi, value):
+        if lo == 0 and hi == 0:
+            return a
+        cfg = [(0, 0, 0)] * a.ndim
+        cfg[axis] = (lo, hi, 0)
+        return jax.lax.pad(a, jnp.asarray(value, a.dtype), cfg)
+
+    # routed cotangents per tap over the full window domain [0, out)
+    taken = None
+    c_taps = []
+    for t in range(k):
+        o_lo = max(0, (pl - t + s - 1) // s)
+        o_hi = min(out, (in_len - 1 + pl - t) // s + 1)
+        n_t = o_hi - o_lo
+        if n_t <= 0:
+            c_taps.append(None)
+            continue
+        x_t = _slice1d(x, o_lo * s - pl + t, n_t, s)
+        hit = _edge_pad(x_t == _slice1d(y, o_lo, n_t), o_lo, out - o_hi, False)
+        r_t = hit if taken is None else hit & ~taken
+        taken = hit if taken is None else taken | hit
+        c_taps.append(jnp.where(r_t, g, zero))
+
+    # per-residue gather: i = m*s + r takes tap t of window m + (r+pl-t)/s
+    out_max = (in_len + s - 1) // s
+    streams = []
+    for r in range(s):
+        out_r = (in_len - r + s - 1) // s
+        acc = None
+        for t in range(k):
+            if (t - pl - r) % s != 0 or c_taps[t] is None:
+                continue
+            d = (r + pl - t) // s
+            m_lo = max(0, -d)
+            m_hi = min(out_r, out - d)
+            if m_hi <= m_lo:
+                continue
+            part = _edge_pad(
+                _slice1d(c_taps[t], m_lo + d, m_hi - m_lo), m_lo, out_max - m_hi, 0
+            )
+            acc = part if acc is None else acc + part
+        if acc is None:
+            shp = list(g.shape)
+            shp[axis] = out_max
+            acc = jnp.zeros(shp, g.dtype)
+        streams.append(acc)
+
+    if s == 1:
+        g_in = streams[0]
+    else:
+        g_in = jnp.stack(streams, axis=axis + 1)
+        shp = list(x.shape)
+        shp[axis] = out_max * s
+        g_in = g_in.reshape(shp)
+    if g_in.shape[axis] != in_len:
+        start = [0] * x.ndim
+        g_in = jax.lax.slice(g_in, start, list(x.shape))
+    return (g_in,)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _max_pool_1d_gather(x, axis, k, s, pads):
+    """``_max_pool_1d`` with the gather-form backward (``_mp1d_bwd_gather``).
+
+    Same routing, pad-free formulation; selected by
+    ``caffe_max_pool(..., grad_mode="gather")`` / ``DSRG_POOL_GRAD=gather``.
+    """
+    return _reduce_window_max_1d(x, axis, k, s, pads)
+
+
+_max_pool_1d_gather.defvjp(_mp1d_fwd, _mp1d_bwd_gather)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _max_pool_sep_pallas(x, k, s, ph, pw):
+    """Separable Caffe max pool whose backward runs the fused Pallas
+    routing kernels (``ops/pallas_pool.py``) — same first-max routing as
+    SelectAndScatter, computed in VMEM instead of XLA's ~1/3-bandwidth
+    windowed scan.  Forward is the stock pair of 1-D reduce_windows."""
+    yw = _reduce_window_max_1d(x, 2, k, s, pw)
+    return _reduce_window_max_1d(yw, 1, k, s, ph)
+
+
+def _mp_sep_pallas_fwd(x, k, s, ph, pw):
+    yw = _reduce_window_max_1d(x, 2, k, s, pw)
+    y = _reduce_window_max_1d(yw, 1, k, s, ph)
+    return y, (x, yw)
+
+
+def _mp_sep_pallas_bwd(k, s, ph, pw, res, g):
+    from dsrg_tpu.ops.pallas_pool import pool_bwd_h, pool_bwd_w
+
+    x, yw = res
+    gw = pool_bwd_h(yw, g, k, s, ph[0])
+    return (pool_bwd_w(x, gw, k, s, pw[0]),)
+
+
+_max_pool_sep_pallas.defvjp(_mp_sep_pallas_fwd, _mp_sep_pallas_bwd)
+
+
+def caffe_max_pool(x: jnp.ndarray, k: int = 3, stride: int = 2, pad: int = 1,
+                   grad_mode: str | None = None) -> jnp.ndarray:
     """(B, H, W, C) max pooling with Caffe output-size semantics.
 
     Computed SEPARABLY — a 1-D column max then a 1-D row max — because max
@@ -138,17 +274,33 @@ def caffe_max_pool(x: jnp.ndarray, k: int = 3, stride: int = 2, pad: int = 1) ->
     ``PoolingLayer::Backward_cpu``).  Pinned incl. ties by
     ``tests/test_model.py::test_max_pool_separable_matches_2d``.
 
-    The backward is SelectAndScatter (XLA's stock reduce_window-max VJP).
-    A routed elementwise alternative (``_max_pool_1d``) was built and
-    measured on the real chip and LOSES 2x: XLA keeps its -inf halo pad and
-    interior-dilated placement pads as standalone data-formatting ops
-    (~55 ms/step of `pad` at the stage-1 geometry vs the 5.6 ms it tried to
-    save) — see STATUS.md round 5.  The code is kept (tested bit-equivalent
-    in routing) for a future Pallas fusion of the same math.
+    ``grad_mode`` picks the VJP (default: ``DSRG_POOL_GRAD`` env or "sas"):
+
+    - ``"sas"`` — SelectAndScatter, XLA's stock reduce_window-max VJP
+      (measured 5.6 ms/step across the five stage-1 pools at ~1/3 of HBM
+      bandwidth, ``artifacts/step_profile_r05.json``);
+    - ``"pallas"`` — the fused Pallas routing kernels
+      (``ops/pallas_pool.py``), bit-identical routing computed in VMEM;
+    - ``"gather"`` — a pad-free routed elementwise XLA backward
+      (``_mp1d_bwd_gather``), measured 42.9 vs SAS 15.1 ms on the isolated
+      pools phase (the interleave/edge pads still materialize) — kept as a
+      second negative result pinning why the Pallas kernel exists;
+    - ``"pad"`` — the first routed attempt (``_max_pool_1d``), measured
+      2x WORSE than SAS on the real chip (XLA materializes its -inf halo
+      and interior-dilated placement pads as ~55 ms/step of standalone
+      data formatting); kept as the routing spec + negative result.
     """
+    if grad_mode is None:
+        grad_mode = os.environ.get("DSRG_POOL_GRAD", "sas")
     h, w = x.shape[1], x.shape[2]
     _, ph = _caffe_pool_geometry(h, k, stride, pad)
     _, pw = _caffe_pool_geometry(w, k, stride, pad)
+    if grad_mode == "pallas":
+        return _max_pool_sep_pallas(x, k, stride, tuple(ph), tuple(pw))
+    if grad_mode != "sas":
+        pool1d = {"gather": _max_pool_1d_gather, "pad": _max_pool_1d}[grad_mode]
+        y = pool1d(x, 2, k, stride, tuple(pw))
+        return pool1d(y, 1, k, stride, tuple(ph))
     y = jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max,
         window_dimensions=(1, 1, k, 1),
